@@ -1,0 +1,28 @@
+"""Test config: run everything on a virtual 8-device CPU mesh.
+
+The machine's sitecustomize (axon TPU tunnel) force-sets JAX_PLATFORMS=axon
+at interpreter start, so env vars alone don't stick — we must override via
+jax.config before any backend initializes. XLA_FLAGS must still be set before
+importing jax for the virtual host device count to take effect.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,202 @@
+"""Typed configuration tree.
+
+Replaces the reference's three uncoordinated config layers (YAML knobs in
+``tracker/config/config.yaml`` + ``inpainter/config/config.yaml``, runtime-arg
+nested dicts in the notebooks, and argparse in ``track_anything.py:84-95``)
+with one frozen dataclass tree that is hashable, so configs can be closed over
+by ``jax.jit`` as static arguments.
+
+Reference parity notes (file:line point at /root/reference):
+  - XMem memory knobs: tracker/config/config.yaml:1-15
+  - refinement modes: tracker/base_tracker.py:56-64
+  - point algorithms: tracker/base_tracker.py:66-71 (C / CP / CPS)
+  - optimized score gate (0.94): tracker/base_tracker.py:954-958
+  - inpainter knobs: inpainter/config/config.yaml:1-7
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+# The 10 SAM refinement prompt modes (tracker/base_tracker.py:56-64).
+REFINEMENT_MODES: Tuple[str, ...] = (
+    "bbox",
+    "point",
+    "both",
+    "both_neg",
+    "mask",
+    "mask_bbox",
+    "mask_pos",
+    "mask_bbox_pos",
+    "mask_bbox_neg",
+    "mask_bbox_pos_neg",
+)
+
+# Point-generation algorithms (tracker/base_tracker.py:66-71).
+POINT_ALGORITHMS: Tuple[str, ...] = ("C", "CP", "CPS")
+
+
+@dataclasses.dataclass(frozen=True)
+class MemoryConfig:
+    """XMem memory-hierarchy knobs (tracker/config/config.yaml:1-15).
+
+    The TPU build replaces dynamically growing concat-tensors with
+    fixed-capacity ring buffers, so everything here resolves to static shapes
+    at trace time.
+    """
+
+    max_mid_term_frames: int = 10      # config.yaml:4
+    min_mid_term_frames: int = 5       # config.yaml:5
+    max_long_term_elements: int = 1000  # config.yaml:6
+    num_prototypes: int = 128          # config.yaml:7
+    top_k: int = 30                    # config.yaml:8
+    mem_every: int = 5                 # config.yaml:9
+    deep_update_every: int = -1        # config.yaml:10 (-1: sync with mem frames)
+    enable_long_term: bool = True      # config.yaml:14
+    enable_long_term_count_usage: bool = True  # config.yaml:15
+
+    def work_capacity(self, hw: int) -> int:
+        """Static working-memory slot capacity for a given key-map size HW.
+
+        Reference grows work memory to ``max_mid_term_frames`` frames worth of
+        tokens before consolidating (memory_manager.py:184-190); we
+        preallocate one extra frame of headroom so the add never overflows
+        before the (jitted) consolidation fires.
+        """
+        return (self.max_mid_term_frames + 1) * hw
+
+    def min_work_elements(self, hw: int) -> int:
+        return self.min_mid_term_frames * hw
+
+
+@dataclasses.dataclass(frozen=True)
+class XMemConfig:
+    """XMem architecture dims.
+
+    The reference infers these from checkpoint weight shapes
+    (tracker/model/network.py:134-182); these defaults are the XMem-s012
+    values (C^k=64, C^v=512, C^h=64).
+    """
+
+    key_dim: int = 64
+    value_dim: int = 512
+    hidden_dim: int = 64   # 0 disables the hidden state/GRUs
+    max_objects: int = 8   # static object-axis padding (reference: dynamic N)
+    single_object: bool = False
+
+    @property
+    def use_hidden(self) -> bool:
+        return self.hidden_dim > 0
+
+
+@dataclasses.dataclass(frozen=True)
+class SAMConfig:
+    """SAM / SAM-HQ architecture (mirrors segment_anything's build_sam).
+
+    The reference selects SAM vs SAM-HQ by installing a different package in a
+    different venv (README.md:93-131, app.py:383-388); here HQ is just a flag.
+    """
+
+    model_type: str = "vit_h"          # vit_b | vit_l | vit_h
+    hq: bool = False                   # SAM-HQ decoder variant
+    image_size: int = 1024
+    patch_size: int = 16
+    prompt_embed_dim: int = 256
+    # Per-variant encoder dims; chosen by model_type.
+    vit_dims: Tuple[Tuple[str, int, int, int, Tuple[int, ...]], ...] = (
+        # (name, embed_dim, depth, num_heads, global_attn_indexes)
+        ("vit_b", 768, 12, 12, (2, 5, 8, 11)),
+        ("vit_l", 1024, 24, 16, (5, 11, 17, 23)),
+        ("vit_h", 1280, 32, 16, (7, 15, 23, 31)),
+    )
+    window_size: int = 14
+    mask_threshold: float = 0.0
+    max_points: int = 16               # static per-object prompt-point budget
+    multimask_output: bool = False
+
+    def encoder_dims(self) -> Tuple[int, int, int, Tuple[int, ...]]:
+        for name, d, depth, heads, glb in self.vit_dims:
+            if name == self.model_type:
+                return d, depth, heads, glb
+        raise ValueError(f"unknown SAM model_type {self.model_type!r}")
+
+
+@dataclasses.dataclass(frozen=True)
+class RefinementConfig:
+    """Vanishing-mask refinement loop (tracker/base_tracker.py:683-976)."""
+
+    use_refinement: bool = True
+    mode: str = "both_neg"             # best config per the paper
+    point_algorithm: str = "C"         # C | CP | CPS
+    optimized: bool = True             # score-gate reverts to XMem mask
+    score_gate: float = 0.94           # base_tracker.py:954
+    min_region_area: float = 100.0     # contour area cutoff (base_tracker.py:334)
+    max_points: int = 16               # static point budget per object
+    max_neg_points: int = 16
+    contour_points: int = 5            # ~5 strided contour points (C algo)
+    polyline_points: int = 12          # CP budget
+    skeleton_points: int = 16          # CPS budget
+    dedup_radius: float = 5.0          # DBSCAN eps analogue (base_tracker.py:472)
+
+    def __post_init__(self) -> None:
+        if self.mode not in REFINEMENT_MODES:
+            raise ValueError(f"refinement mode {self.mode!r} not in {REFINEMENT_MODES}")
+        if self.point_algorithm not in POINT_ALGORITHMS:
+            raise ValueError(
+                f"point algorithm {self.point_algorithm!r} not in {POINT_ALGORITHMS}"
+            )
+
+
+@dataclasses.dataclass(frozen=True)
+class InpainterConfig:
+    """E2FGVI-HQ driver knobs (inpainter/config/config.yaml:1-7)."""
+
+    neighbor_stride: int = 5
+    num_ref: int = -1
+    step: int = 10
+    num_subset_frames: int = 50
+    num_external_ref: int = 2
+    dilate_radius: int = 15            # base_inpainter.py:74-75
+    hidden_dim: int = 512
+    num_blocks: int = 8
+    num_heads: int = 4
+    window_size: Tuple[int, int] = (5, 9)
+    focal_level: int = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class ParallelConfig:
+    """Device-mesh layout for sequence-data-parallel evaluation (§2.14)."""
+
+    data_axis: str = "data"            # whole videos sharded over this axis
+    model_axis: str = "model"          # optional TP axis for SAM ViT-H
+    data_parallel: int = -1            # -1: all devices
+    model_parallel: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class FrameworkConfig:
+    """Root config."""
+
+    xmem: XMemConfig = XMemConfig()
+    memory: MemoryConfig = MemoryConfig()
+    sam: SAMConfig = SAMConfig()
+    refinement: RefinementConfig = RefinementConfig()
+    inpainter: InpainterConfig = InpainterConfig()
+    parallel: ParallelConfig = ParallelConfig()
+    dtype: str = "bfloat16"            # compute dtype on the MXU
+    param_dtype: str = "float32"       # master parameter dtype
+
+
+def small_test_config() -> FrameworkConfig:
+    """A tiny config for CPU tests: vit_b-sized SAM, small memory, 3 objects."""
+    return FrameworkConfig(
+        xmem=XMemConfig(max_objects=3),
+        memory=MemoryConfig(max_mid_term_frames=3, min_mid_term_frames=2,
+                            max_long_term_elements=256, num_prototypes=16,
+                            top_k=8, mem_every=2),
+        sam=SAMConfig(model_type="vit_b", image_size=256, max_points=8),
+        refinement=RefinementConfig(max_points=8, max_neg_points=8),
+        dtype="float32",
+    )
