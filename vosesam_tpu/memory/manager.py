@@ -1,0 +1,233 @@
+"""Memory manager: jitted read / write / consolidation over MemoryState.
+
+Reference: tracker/inference/memory_manager.py. The TPU redesign keeps the
+exact algorithmic semantics — top-k sparse read over concat(LT, work),
+usage (LFU) accounting, prototype consolidation with attention "potentiation"
+— but as pure static-shape functions:
+
+  - `match_memory` (memory_manager.py:57-150): one shared similarity over the
+    LT+work arena, per-object masked top-k softmax + readout, usage recording.
+  - `add_memory` (memory_manager.py:152-190): append an HW-token chunk at the
+    live offset; when the work arena hits max_work_elements (it can only hit
+    it exactly — adds are HW-sized and the threshold is a multiple of HW),
+    consolidation runs as a lax.cond branch with *static* windows:
+      candidates = slots [HW, Cw-min_work+HW)   (memory_manager.py:211-243)
+      keep       = frame-0 slots + the most recent min_work-HW slots
+  - `consolidate` (memory_manager.py:245-285): top-P usage candidates become
+    prototype keys; values are attention readouts of candidate values onto
+    the prototypes; prototype shrinkage is the readout of candidate
+    shrinkage. LT insertion overwrites the P least-used LT slots (invalid
+    slots first), which subsumes the reference's LFU eviction
+    (kv_memory_store.py:135-156).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vosesam_tpu.config import MemoryConfig
+from vosesam_tpu.memory.rings import LongTermMemory, MemoryState, WorkMemory
+from vosesam_tpu.ops.memory_attention import (
+    get_similarity,
+    read_memory_multiobject,
+)
+
+
+def match_memory(
+    state: MemoryState,
+    qk: jax.Array,   # (H16, W16, Ck)
+    qe: Optional[jax.Array],  # (H16, W16, Ck) selection
+    cfg: MemoryConfig,
+) -> Tuple[jax.Array, MemoryState]:
+    """Read memory for all objects; returns ((O, H16, W16, Cv), new state)."""
+    h16, w16, ck = qk.shape
+    q = qk.reshape(-1, ck)
+    e = qe.reshape(-1, ck) if qe is not None else None
+    work, lt = state.work, state.long
+
+    if cfg.enable_long_term:
+        mk = jnp.concatenate([lt.keys, work.keys], 0)
+        ms = jnp.concatenate([lt.shrinkage, work.shrinkage], 0)
+        mv = jnp.concatenate([lt.values, work.values], 1)
+        kv = jnp.concatenate([lt.key_valid, work.key_valid()], 0)
+        vv = jnp.concatenate([lt.value_valid, work.value_valid], 1)
+    else:
+        mk, ms, mv, kv, vv = work.keys, work.shrinkage, work.values, work.key_valid(), work.value_valid
+
+    # Objects with no values anywhere would soft-max over nothing; mask later.
+    readout_flat, usage = read_memory_multiobject(
+        mk, ms, mv, q, e, kv, vv, cfg.top_k, return_usage=True
+    )
+    o = mv.shape[0]
+    cv = mv.shape[-1]
+    readout = readout_flat.reshape(o, h16, w16, cv)
+    # Zero objects that have no memory at all (no valid value slots).
+    has_mem = jnp.any(vv, axis=1)
+    readout = readout * has_mem[:, None, None, None].astype(readout.dtype)
+
+    # Usage recording (memory_manager.py:109-119).
+    nl = lt.capacity
+    wu = usage[nl:] if cfg.enable_long_term else usage
+    new_work = work.replace(
+        use_count=work.use_count + wu,
+        life_count=work.life_count + work.key_valid().astype(jnp.float32),
+    )
+    new_lt = lt
+    if cfg.enable_long_term and cfg.enable_long_term_count_usage:
+        new_lt = lt.replace(
+            use_count=lt.use_count + usage[:nl],
+            life_count=lt.life_count + lt.key_valid.astype(jnp.float32),
+        )
+    return readout, state.replace(work=new_work, long=new_lt)
+
+
+def add_memory(
+    state: MemoryState,
+    key: jax.Array,        # (H16, W16, Ck)
+    shrinkage: jax.Array,  # (H16, W16, 1)
+    selection: jax.Array,  # (H16, W16, Ck)
+    value: jax.Array,      # (O, H16, W16, Cv)
+    obj_valid: jax.Array,  # (O,) bool
+    cfg: MemoryConfig,
+    hw: int,
+) -> MemoryState:
+    """Append one frame's tokens; consolidate when the arena is full."""
+    if not cfg.enable_long_term:
+        # Reference never trims in this mode (memory grows unboundedly); the
+        # static arena instead drops the oldest non-frame-0 chunk to make
+        # room before appending.
+        state = jax.lax.cond(
+            state.work.count + hw > state.work.capacity,
+            lambda st: _drop_oldest_chunk(st, hw),
+            lambda st: st,
+            state,
+        )
+    work = state.work
+    ck = key.shape[-1]
+    cv = value.shape[-1]
+    o = value.shape[0]
+    k = key.reshape(hw, ck)
+    s = shrinkage.reshape(hw)
+    sel = selection.reshape(hw, ck)
+    v = value.reshape(o, hw, cv)
+
+    at = work.count
+    vv_new = jnp.broadcast_to(obj_valid[:, None], (o, hw))
+    work = work.replace(
+        keys=jax.lax.dynamic_update_slice(work.keys, k.astype(work.keys.dtype), (at, 0)),
+        shrinkage=jax.lax.dynamic_update_slice(work.shrinkage, s.astype(work.shrinkage.dtype), (at,)),
+        selection=jax.lax.dynamic_update_slice(work.selection, sel.astype(work.selection.dtype), (at, 0)),
+        values=jax.lax.dynamic_update_slice(work.values, v.astype(work.values.dtype), (0, at, 0)),
+        value_valid=jax.lax.dynamic_update_slice(work.value_valid, vv_new, (0, at)),
+        use_count=jax.lax.dynamic_update_slice(work.use_count, jnp.zeros(hw), (at,)),
+        life_count=jax.lax.dynamic_update_slice(work.life_count, jnp.zeros(hw), (at,)),
+        count=work.count + hw,
+    )
+    state = state.replace(work=work, obj_valid=state.obj_valid | obj_valid)
+
+    if not cfg.enable_long_term:
+        return state
+
+    return jax.lax.cond(
+        state.work.count >= state.work.capacity,
+        lambda st: _consolidate(st, cfg, hw),
+        lambda st: st,
+        state,
+    )
+
+
+def _drop_oldest_chunk(state: MemoryState, hw: int) -> MemoryState:
+    """LT-disabled fallback: shift out the oldest post-frame-0 HW chunk."""
+    w = state.work
+
+    def shift(a, axis):
+        upper = jax.lax.slice_in_dim(a, hw + hw, a.shape[axis], axis=axis)
+        head = jax.lax.slice_in_dim(a, 0, hw, axis=axis)
+        pad = jnp.zeros_like(jax.lax.slice_in_dim(a, 0, hw, axis=axis))
+        return jnp.concatenate([head, upper, pad], axis=axis)
+
+    w = w.replace(
+        keys=shift(w.keys, 0), shrinkage=shift(w.shrinkage, 0),
+        selection=shift(w.selection, 0), values=shift(w.values, 1),
+        value_valid=shift(w.value_valid, 1), use_count=shift(w.use_count, 0),
+        life_count=shift(w.life_count, 0), count=w.count - hw,
+    )
+    return state.replace(work=w)
+
+
+def _consolidate(state: MemoryState, cfg: MemoryConfig, hw: int) -> MemoryState:
+    """memory_manager.py:211-285 with static windows; see module docstring."""
+    work, lt = state.work, state.long
+    cw = work.capacity
+    min_work = cfg.min_mid_term_frames * hw
+    nc = cw - min_work                 # candidate count (static)
+    keep_tail = min_work - hw          # recent tokens kept (static)
+    p = cfg.num_prototypes
+    o = work.values.shape[0]
+
+    # ---- candidate slices (start=hw, length=nc — both static)
+    cand_keys = jax.lax.dynamic_slice_in_dim(work.keys, hw, nc, 0)
+    cand_shrink = jax.lax.dynamic_slice_in_dim(work.shrinkage, hw, nc, 0)
+    cand_sel = jax.lax.dynamic_slice_in_dim(work.selection, hw, nc, 0)
+    cand_vals = jax.lax.dynamic_slice_in_dim(work.values, hw, nc, 1)
+    cand_vv = jax.lax.dynamic_slice_in_dim(work.value_valid, hw, nc, 1)
+    cand_usage = jax.lax.dynamic_slice_in_dim(work.usage(), hw, nc, 0)
+
+    # ---- prototypes: top-P usage candidates (memory_manager.py:251)
+    _, proto_idx = jax.lax.top_k(cand_usage, p)
+    proto_keys = cand_keys[proto_idx]
+    proto_sel = cand_sel[proto_idx]
+    proto_vv = jnp.take(cand_vv, proto_idx, axis=1)      # (O, P)
+
+    # ---- potentiation (memory_manager.py:263-284)
+    sim = get_similarity(cand_keys, cand_shrink, proto_keys, proto_sel)  # (P, Nc)
+
+    def masked_softmax(s, mask):
+        s = jnp.where(mask[None, :], s, -1e30)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.where(mask[None, :], jnp.exp(s - m), 0.0)
+        return e / jnp.clip(jnp.sum(e, -1, keepdims=True), 1e-30)
+
+    def per_object(vv_o, vals_o):
+        aff = masked_softmax(sim, vv_o)                  # (P, Nc)
+        return jnp.dot(aff, vals_o.astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
+
+    proto_vals = jax.vmap(per_object)(cand_vv, cand_vals)  # (O, P, Cv)
+    aff_full = masked_softmax(sim, jnp.ones(nc, bool))
+    proto_shrink = jnp.dot(aff_full, cand_shrink.astype(jnp.float32))
+
+    # ---- write prototypes over the P least-used LT slots (invalid first)
+    evict_score = jnp.where(lt.key_valid, -lt.usage(), jnp.inf)
+    _, slots = jax.lax.top_k(evict_score, p)
+    lt = lt.replace(
+        keys=lt.keys.at[slots].set(proto_keys.astype(lt.keys.dtype)),
+        shrinkage=lt.shrinkage.at[slots].set(proto_shrink.astype(lt.shrinkage.dtype)),
+        values=lt.values.at[:, slots].set(proto_vals.astype(lt.values.dtype)),
+        key_valid=lt.key_valid.at[slots].set(True),
+        value_valid=lt.value_valid.at[:, slots].set(proto_vv),
+        use_count=lt.use_count.at[slots].set(0.0),
+        life_count=lt.life_count.at[slots].set(0.0),
+    )
+
+    # ---- compact work memory: [0, hw) + most recent keep_tail slots
+    def compact(a, axis):
+        head = jax.lax.slice_in_dim(a, 0, hw, axis=axis)
+        tail = jax.lax.slice_in_dim(a, cw - keep_tail, cw, axis=axis)
+        pad_shape = list(a.shape)
+        pad_shape[axis] = cw - min_work
+        pad = jnp.zeros(pad_shape, a.dtype)
+        return jnp.concatenate([head, tail, pad], axis=axis)
+
+    work = work.replace(
+        keys=compact(work.keys, 0), shrinkage=compact(work.shrinkage, 0),
+        selection=compact(work.selection, 0), values=compact(work.values, 1),
+        value_valid=compact(work.value_valid, 1),
+        use_count=compact(work.use_count, 0),
+        life_count=compact(work.life_count, 0),
+        count=jnp.int32(min_work),
+    )
+    return state.replace(work=work, long=lt)

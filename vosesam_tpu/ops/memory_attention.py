@@ -68,6 +68,7 @@ def topk_softmax(
     Threshold formulation: affinity is nonzero only where sim >= kth-largest.
     Returns (affinity (Q, M) fp32, usage (M,) or None).
     """
+    v = None
     if valid is not None:
         v = valid if valid.ndim == 2 else valid[None, :]
         sim = jnp.where(v, sim, NEG_INF)
@@ -77,6 +78,10 @@ def topk_softmax(
     kth = topv[:, -1:]                          # (Q, 1)
     maxv = topv[:, :1]
     mask = sim >= kth
+    if v is not None:
+        # Guard the all-invalid case: every sim is NEG_INF, so `sim >= kth`
+        # would be all-True and spread uniform affinity over invalid slots.
+        mask = mask & v
     e = jnp.where(mask, jnp.exp(sim - maxv), 0.0)
     affinity = e / jnp.clip(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
     usage = jnp.sum(affinity, axis=0) if return_usage else None
