@@ -1,0 +1,200 @@
+"""SAM ViT image encoder, functional JAX.
+
+Re-implements the `segment_anything` package's ImageEncoderViT (the reference
+consumes it via `sam_model_registry`, tools/base_segmenter.py:7,25): patch
+embed, absolute position embedding, `depth` transformer blocks with 14x14
+windowed attention (global attention at the per-variant global indexes) and
+decomposed relative position embeddings, and the 256-channel neck.
+
+TPU-first notes:
+  - activations NHWC; attention computed in (tokens, heads, dim) with fp32
+    softmax over bf16 matmuls;
+  - window partition is a reshape/transpose (static shapes: 1024/16=64 tokens
+    pad to 70 = 5x14 windows);
+  - param-tree names mirror the official checkpoint
+    (image_encoder.blocks.N.attn.qkv / rel_pos_h / ... ) for mechanical
+    conversion.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vosesam_tpu.config import SAMConfig
+from vosesam_tpu.models.layers import (
+    Params,
+    conv2d,
+    conv_init,
+    gelu,
+    layer_norm,
+    linear,
+    linear_init,
+    ln_init,
+)
+
+
+# ----------------------------------------------------------------------- init
+
+def vit_init(key, cfg: SAMConfig, dtype=jnp.float32) -> Params:
+    dim, depth, heads, global_idx = cfg.encoder_dims()
+    tokens = cfg.image_size // cfg.patch_size
+    head_dim = dim // heads
+    ks = jax.random.split(key, depth + 3)
+    blocks: Params = {}
+    for i in range(depth):
+        kb = jax.random.split(ks[i], 6)
+        wsz = tokens if i in global_idx else cfg.window_size
+        rel = 2 * wsz - 1
+        blocks[str(i)] = {
+            "norm1": ln_init(dim, dtype),
+            "attn": {
+                "qkv": linear_init(kb[0], dim, dim * 3, dtype=dtype),
+                "proj": linear_init(kb[1], dim, dim, dtype=dtype),
+                "rel_pos_h": jnp.zeros((rel, head_dim), dtype),
+                "rel_pos_w": jnp.zeros((rel, head_dim), dtype),
+            },
+            "norm2": ln_init(dim, dtype),
+            "mlp": {
+                "lin1": linear_init(kb[2], dim, dim * 4, dtype=dtype),
+                "lin2": linear_init(kb[3], dim * 4, dim, dtype=dtype),
+            },
+        }
+    return {
+        "patch_embed": {"proj": conv_init(ks[depth], cfg.patch_size, cfg.patch_size, 3, dim, dtype=dtype)},
+        "pos_embed": 0.02 * jax.random.normal(ks[depth + 1], (1, tokens, tokens, dim), dtype),
+        "blocks": blocks,
+        "neck": {
+            "0": conv_init(jax.random.fold_in(ks[depth + 2], 0), 1, 1, dim, 256, bias=False, dtype=dtype),
+            "1": ln_init(256, dtype),
+            "2": conv_init(jax.random.fold_in(ks[depth + 2], 1), 3, 3, 256, 256, bias=False, dtype=dtype),
+            "3": ln_init(256, dtype),
+        },
+    }
+
+
+# ------------------------------------------------------------------ attention
+
+def _get_rel_pos(q_size: int, k_size: int, rel_pos: jax.Array) -> jax.Array:
+    """Interpolate + gather relative position embeddings (official
+    get_rel_pos semantics)."""
+    max_rel_dist = 2 * max(q_size, k_size) - 1
+    if rel_pos.shape[0] != max_rel_dist:
+        rel_pos = jax.image.resize(
+            rel_pos, (max_rel_dist, rel_pos.shape[1]), method="linear"
+        )
+    q_coords = jnp.arange(q_size)[:, None] * max(k_size / q_size, 1.0)
+    k_coords = jnp.arange(k_size)[None, :] * max(q_size / k_size, 1.0)
+    rel = (q_coords - k_coords) + (k_size - 1) * max(q_size / k_size, 1.0)
+    return rel_pos[rel.astype(jnp.int32)]
+
+
+def _decomposed_rel_pos_bias(
+    q: jax.Array,  # (B, qh*qw, heads, hd)
+    rel_pos_h: jax.Array,
+    rel_pos_w: jax.Array,
+    q_hw: Tuple[int, int],
+    k_hw: Tuple[int, int],
+) -> jax.Array:
+    """Decomposed additive rel-pos attention bias (official
+    add_decomposed_rel_pos), returned as (B, heads, qh*qw, kh*kw)."""
+    qh, qw = q_hw
+    kh, kw = k_hw
+    rh = _get_rel_pos(qh, kh, rel_pos_h)   # (qh, kh, hd)
+    rw = _get_rel_pos(qw, kw, rel_pos_w)   # (qw, kw, hd)
+    b, _, heads, hd = q.shape
+    rq = q.reshape(b, qh, qw, heads, hd).astype(jnp.float32)
+    bias_h = jnp.einsum("bhwnc,hkc->bnhwk", rq, rh.astype(jnp.float32))
+    bias_w = jnp.einsum("bhwnc,wkc->bnhwk", rq, rw.astype(jnp.float32))
+    bias = bias_h[..., :, None] + bias_w[..., None, :]   # (b, n, qh, qw, kh, kw)
+    return bias.reshape(b, heads, qh * qw, kh * kw)
+
+
+def _attention(x: jax.Array, p: Params, heads: int, hw: Tuple[int, int]) -> jax.Array:
+    """x: (B, H, W, C) windowed or global tokens."""
+    b, h, w, c = x.shape
+    hd = c // heads
+    qkv = linear(x.reshape(b, h * w, c), p["qkv"]).reshape(b, h * w, 3, heads, hd)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    scale = 1.0 / math.sqrt(hd)
+    attn = jnp.einsum(
+        "bqnc,bknc->bnqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    attn = attn + _decomposed_rel_pos_bias(q, p["rel_pos_h"], p["rel_pos_w"], hw, hw)
+    attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bnqk,bknc->bqnc", attn, v).reshape(b, h * w, c)
+    return linear(out, p["proj"]).reshape(b, h, w, c)
+
+
+def _window_partition(x: jax.Array, wsz: int):
+    b, h, w, c = x.shape
+    ph, pw = (wsz - h % wsz) % wsz, (wsz - w % wsz) % wsz
+    x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+    hp, wp = h + ph, w + pw
+    x = x.reshape(b, hp // wsz, wsz, wp // wsz, wsz, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, wsz, wsz, c)
+    return x, (hp, wp)
+
+
+def _window_unpartition(x: jax.Array, wsz: int, pad_hw, hw):
+    hp, wp = pad_hw
+    h, w = hw
+    b = x.shape[0] // ((hp // wsz) * (wp // wsz))
+    x = x.reshape(b, hp // wsz, wp // wsz, wsz, wsz, -1)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, -1)
+    return x[:, :h, :w]
+
+
+def _block(x: jax.Array, p: Params, heads: int, window: int) -> jax.Array:
+    shortcut = x
+    y = layer_norm(x, p["norm1"])
+    if window > 0:
+        y, pad_hw = _window_partition(y, window)
+        y = _attention(y, p["attn"], heads, (window, window))
+        y = _window_unpartition(y, window, pad_hw, (x.shape[1], x.shape[2]))
+    else:
+        y = _attention(y, p["attn"], heads, (x.shape[1], x.shape[2]))
+    x = shortcut + y
+    y = layer_norm(x, p["norm2"])
+    y = linear(gelu(linear(y, p["mlp"]["lin1"])), p["mlp"]["lin2"])
+    return x + y
+
+
+def _layer_norm_2d(x: jax.Array, p: Params, eps: float = 1e-6) -> jax.Array:
+    """segment_anything's LayerNorm2d == channel-wise LN over NHWC last dim."""
+    return layer_norm(x, p, eps)
+
+
+def vit_encode(
+    params: Params, x: jax.Array, cfg: SAMConfig, return_interm: bool = False
+):
+    """x: (H, W, 3) preprocessed image -> (H/16, W/16, 256) embedding.
+
+    `return_interm` also returns the early global-attention block outputs
+    (needed by the SAM-HQ decoder's ViT-feature fusion)."""
+    dim, depth, heads, global_idx = cfg.encoder_dims()
+    y = conv2d(x[None], params["patch_embed"]["proj"],
+               stride=cfg.patch_size, padding=0)
+    pe = params["pos_embed"]
+    if pe.shape[1] != y.shape[1] or pe.shape[2] != y.shape[2]:
+        pe = jax.image.resize(pe, (1, y.shape[1], y.shape[2], pe.shape[3]), "linear")
+    y = y + pe.astype(y.dtype)
+
+    interm = []
+    for i in range(depth):
+        window = 0 if i in global_idx else cfg.window_size
+        y = _block(y, params["blocks"][str(i)], heads, window)
+        if return_interm and i in global_idx:
+            interm.append(y[0])
+
+    neck = params["neck"]
+    y = conv2d(y, neck["0"])
+    y = _layer_norm_2d(y, neck["1"])
+    y = conv2d(y, neck["2"], padding=1)
+    y = _layer_norm_2d(y, neck["3"])
+    if return_interm:
+        return y[0], interm
+    return y[0]

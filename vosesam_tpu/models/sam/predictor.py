@@ -1,0 +1,161 @@
+"""Functional SAM predictor: preprocess -> encode once -> predict per prompt.
+
+Replaces the reference's SamPredictor usage (tools/base_segmenter.py:13-105):
+`set_image` becomes `encode_image` returning an embedding that the caller
+carries in its state (the embedding cache / `self.embedded` flag becomes a
+value, not a flag); `predict` becomes a pure jittable function over fixed-size
+prompt packs, vmappable across objects (the reference loops objects through
+predict / uses predict_torch for batched boxes, base_tracker.py:698-950).
+
+Static-shape conventions:
+  - points arrive as (P, 2) float coords in ORIGINAL image space with labels
+    in {-1 pad, 0 neg, 1 pos, 2, 3 box corners};
+  - a box is two extra labeled points appended to the pack;
+  - mask prompts are (256, 256) logits with a validity flag.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from vosesam_tpu.config import SAMConfig
+from vosesam_tpu.models.layers import Params
+from vosesam_tpu.models.sam import image_encoder, mask_decoder, prompt_encoder
+from vosesam_tpu.ops.image import resize_bilinear, sam_input_resize
+
+SAM_PIXEL_MEAN = (123.675, 116.28, 103.53)
+SAM_PIXEL_STD = (58.395, 57.12, 57.375)
+
+
+class SamParams(NamedTuple):
+    image_encoder: Params
+    prompt_encoder: Params
+    mask_decoder: Params
+
+
+@struct.dataclass
+class ImageEmbedding:
+    embedding: jax.Array              # (64, 64, 256)
+    interm: Optional[jax.Array]       # (64, 64, vit_dim) early features (HQ)
+    # Shape metadata is static (needed for crops/resizes under jit).
+    input_hw: Tuple[int, int] = struct.field(pytree_node=False)  # pre-pad size
+    orig_hw: Tuple[int, int] = struct.field(pytree_node=False)   # original size
+
+
+def sam_init(key, cfg: SAMConfig, dtype=jnp.float32) -> SamParams:
+    k1, k2, k3 = jax.random.split(key, 3)
+    return SamParams(
+        image_encoder=image_encoder.vit_init(k1, cfg, dtype),
+        prompt_encoder=prompt_encoder.prompt_encoder_init(k2, cfg, dtype),
+        mask_decoder=mask_decoder.mask_decoder_init(k3, cfg, dtype),
+    )
+
+
+def preprocess(img: jax.Array, cfg: SAMConfig) -> Tuple[jax.Array, Tuple[int, int]]:
+    """(H, W, 3) uint8/float RGB -> normalized, padded (S, S, 3)."""
+    x = img.astype(jnp.float32)
+    mean = jnp.asarray(SAM_PIXEL_MEAN, jnp.float32)
+    std = jnp.asarray(SAM_PIXEL_STD, jnp.float32)
+    resized, input_hw = sam_input_resize(x, cfg.image_size)
+    # Normalize, then re-zero the padding (official pads after normalize).
+    norm = (resized - mean) / std
+    h, w = input_hw
+    yy = jnp.arange(cfg.image_size)[:, None]
+    xx = jnp.arange(cfg.image_size)[None, :]
+    valid = (yy < h) & (xx < w)
+    return jnp.where(valid[..., None], norm, 0.0), input_hw
+
+
+def encode_image(params: SamParams, img: jax.Array, cfg: SAMConfig) -> ImageEmbedding:
+    """The per-frame ViT encode — the pipeline's hottest op (§3.2)."""
+    x, input_hw = preprocess(img, cfg)
+    if cfg.hq:
+        emb, interm = image_encoder.vit_encode(
+            params.image_encoder, x, cfg, return_interm=True
+        )
+        return ImageEmbedding(emb, interm[0], tuple(input_hw), tuple(img.shape[:2]))
+    emb = image_encoder.vit_encode(params.image_encoder, x, cfg)
+    return ImageEmbedding(emb, None, tuple(input_hw), tuple(img.shape[:2]))
+
+
+def transform_coords(coords: jax.Array, orig_hw: Tuple[int, int], cfg: SAMConfig) -> jax.Array:
+    """Original-image xy -> model-input xy (ResizeLongestSide.apply_coords)."""
+    h, w = orig_hw
+    scale = cfg.image_size / max(h, w)
+    return coords * scale
+
+
+class SamPrediction(NamedTuple):
+    masks: jax.Array        # (n, H, W) boolean at original resolution
+    logits_full: jax.Array  # (n, H, W) float logits at original resolution
+    iou: jax.Array          # (n,)
+    low_res: jax.Array      # (n, 256, 256) logits (reusable as mask prompt)
+
+
+def predict(
+    params: SamParams,
+    emb: ImageEmbedding,
+    coords: jax.Array,          # (P, 2) original-space xy
+    labels: jax.Array,          # (P,) int32
+    mask_input: Optional[jax.Array],  # (256, 256) logits or None
+    cfg: SAMConfig,
+) -> SamPrediction:
+    """One prompt-pack -> all mask tokens. Callers pick single/multi/HQ."""
+    grid = emb.embedding.shape[:2]
+    pts = transform_coords(coords, emb.orig_hw, cfg)
+    sparse = prompt_encoder.encode_points(params.prompt_encoder, pts, labels, cfg)
+    if mask_input is not None:
+        dense = prompt_encoder.encode_mask(params.prompt_encoder, mask_input)
+    else:
+        dense = prompt_encoder.no_mask_dense(params.prompt_encoder, grid)
+    pe = prompt_encoder.dense_pe(params.prompt_encoder, grid)
+    low_res, iou = mask_decoder.decode_masks(
+        params.mask_decoder, emb.embedding, pe, sparse, dense, cfg,
+        interm_vit=emb.interm,
+    )
+    logits_full = postprocess_masks(low_res, emb.input_hw, emb.orig_hw, cfg)
+    return SamPrediction(
+        masks=logits_full > cfg.mask_threshold,
+        logits_full=logits_full,
+        iou=iou,
+        low_res=low_res,
+    )
+
+
+def postprocess_masks(
+    low_res: jax.Array,           # (n, 256, 256)
+    input_hw: Tuple[int, int],
+    orig_hw: Tuple[int, int],
+    cfg: SAMConfig,
+) -> jax.Array:
+    """Official Sam.postprocess_masks: upsample to the model square, crop the
+    un-padded region, resize to the original size."""
+    s = cfg.image_size
+    up = resize_bilinear(low_res, (s, s), axes=(-2, -1))
+    up = up[..., : input_hw[0], : input_hw[1]]
+    return resize_bilinear(up, orig_hw, axes=(-2, -1))
+
+
+def select_best(pred: SamPrediction, cfg: SAMConfig, multimask: bool):
+    """Reference-predictor mask selection: token 0 when single-mask, the
+    best-IoU of tokens 1..3 when multimask; SAM-HQ uses the HQ token.
+
+    Returns (mask (H, W) bool, logits (H, W), score (), low_res (256, 256))."""
+    if cfg.hq:
+        idx = mask_decoder.NUM_MASK_TOKENS  # the HQ token
+        # HQ checkpoints predict IoU for the HQ token at the same index.
+        return pred.masks[idx], pred.logits_full[idx], pred.iou[idx], pred.low_res[idx]
+    if multimask:
+        best = jnp.argmax(pred.iou[1:4]) + 1
+        return (
+            pred.masks[best],
+            pred.logits_full[best],
+            pred.iou[best],
+            pred.low_res[best],
+        )
+    return pred.masks[0], pred.logits_full[0], pred.iou[0], pred.low_res[0]
