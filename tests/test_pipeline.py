@@ -1,0 +1,128 @@
+"""Pipeline facade tests: generator loop, interact controller, full
+XMem->SAM refinement frame (tiny models, random weights)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vosesam_tpu.config import (
+    FrameworkConfig,
+    MemoryConfig,
+    RefinementConfig,
+    SAMConfig,
+    XMemConfig,
+)
+from vosesam_tpu.pipeline.track_anything import TrackingAnything, parse_augment
+
+H, W = 48, 64
+
+TINY_SAM = SAMConfig(
+    model_type="vit_b", image_size=128, window_size=7,
+    vit_dims=(("vit_b", 64, 2, 2, (1,)),),
+)
+
+
+def tiny_cfg(use_refinement: bool) -> FrameworkConfig:
+    return FrameworkConfig(
+        xmem=XMemConfig(max_objects=2),
+        memory=MemoryConfig(
+            max_mid_term_frames=3, min_mid_term_frames=2,
+            max_long_term_elements=64, num_prototypes=8, top_k=8, mem_every=2,
+        ),
+        sam=TINY_SAM,
+        refinement=RefinementConfig(
+            use_refinement=use_refinement, mode="both_neg",
+            min_region_area=10.0, optimized=True,
+        ),
+        dtype="float32",
+    )
+
+
+def synthetic_video(n=4):
+    r = np.random.default_rng(0)
+    base = r.integers(0, 255, (H, W, 3), np.uint8)
+    frames = []
+    for i in range(n):
+        f = base.copy()
+        f[10 + i:24 + i, 10 + i:30 + i] = [255, 40, 40]
+        frames.append(f)
+    return frames
+
+
+def template():
+    m = np.zeros((H, W), np.uint8)
+    m[10:24, 10:30] = 3   # non-contiguous palette label on purpose
+    return m
+
+
+class TestGenerator:
+    def test_xmem_only(self):
+        ta = TrackingAnything(cfg=tiny_cfg(False))
+        frames = synthetic_video(4)
+        masks, logits, painted, scores = ta.generator(frames, template())
+        assert len(masks) == 4
+        # original palette label restored on output
+        assert set(np.unique(masks[0])) <= {0, 3}
+        assert (masks[0] == 3).sum() == (template() == 3).sum()
+        assert painted[0].shape == (H, W, 3) and painted[0].dtype == np.uint8
+        assert len(scores[1]) == 2
+
+    def test_with_refinement(self):
+        ta = TrackingAnything(cfg=tiny_cfg(True))
+        frames = synthetic_video(2)
+        masks, logits, painted, scores = ta.generator(frames, template())
+        assert len(masks) == 2
+        assert masks[1].shape == (H, W)
+        assert set(np.unique(masks[1])) <= {0, 3}
+
+    def test_with_mask_mode_refinement(self):
+        cfg = dataclasses.replace(
+            tiny_cfg(True),
+            refinement=RefinementConfig(
+                use_refinement=True, mode="mask_bbox_pos_neg",
+                min_region_area=10.0, optimized=False,
+            ),
+        )
+        ta = TrackingAnything(cfg=cfg)
+        frames = synthetic_video(2)
+        masks, *_ = ta.generator(frames, template())
+        assert masks[1].shape == (H, W)
+
+    def test_clear_memory_between_videos(self):
+        ta = TrackingAnything(cfg=tiny_cfg(False))
+        frames = synthetic_video(2)
+        ta.generator(frames, template())
+        ta.xmem.clear_memory()
+        assert ta.xmem.state is None
+        masks, *_ = ta.generator(frames, template())
+        assert set(np.unique(masks[0])) <= {0, 3}
+
+
+class TestInteract:
+    def test_first_frame_click(self):
+        ta = TrackingAnything(cfg=tiny_cfg(True))
+        img = synthetic_video(1)[0]
+        pts = np.array([[20.0, 15.0]])
+        lbl = np.array([1])
+        mask, logit, painted = ta.first_frame_click(img, pts, lbl)
+        assert mask.shape == (H, W) and mask.dtype == bool
+        assert logit.shape == (32, 32)   # image_size/4 low-res grid
+        assert painted.shape == (H, W, 3)
+
+    def test_two_pass_with_negative(self):
+        ta = TrackingAnything(cfg=tiny_cfg(True))
+        img = synthetic_video(1)[0]
+        pts = np.array([[20.0, 15.0], [50.0, 40.0], [22.0, 16.0]])
+        lbl = np.array([1, 0, 1])        # neg present, last positive
+        mask, logit, painted = ta.first_frame_click(img, pts, lbl)
+        assert mask.shape == (H, W)
+
+
+def test_parse_augment_defaults(monkeypatch):
+    monkeypatch.setattr("sys.argv", ["prog"])
+    args = parse_augment()
+    assert args.sam_model_type == "vit_h"
+    assert args.port == 6080

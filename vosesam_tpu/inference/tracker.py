@@ -1,0 +1,155 @@
+"""Tracker: the per-frame XMem -> SAM-refinement orchestrator.
+
+Reference: tracker/base_tracker.py BaseTracker (:30-212) — the product's
+heart. The torch version crosses the host<->device boundary >=4x per frame
+(SURVEY.md §3.1); here the ENTIRE frame step — normalize, pad, XMem
+propagate, memory update, argmax, prompt generation, SAM encode+refine,
+compositing, painting — is one jit-compiled function; the host only supplies
+the next frame and receives the finished mask.
+
+The host-side `Tracker` class keeps the reference's session API:
+  track(frame, first_frame_annotation=None) ->
+      (mask (H, W) uint8, logits, painted_image, scores)   (:97-212)
+  clear_memory()                                            (:1092-1096)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vosesam_tpu.config import FrameworkConfig
+from vosesam_tpu.inference import core
+from vosesam_tpu.inference.refinement import (
+    masks_from_prob,
+    refine_masks,
+    xmem_object_scores,
+)
+from vosesam_tpu.models.layers import Params
+from vosesam_tpu.models.sam import predictor
+from vosesam_tpu.utils.mask_mapper import MaskMapper
+from vosesam_tpu.viz.painter import paint_indexed
+
+
+@partial(jax.jit, static_argnames=("cfg", "paint"))
+def track_frame(
+    xmem_params: Params,
+    sam_params: Optional[predictor.SamParams],
+    state: core.TrackerState,
+    frame: jax.Array,                  # (H, W, 3) uint8 RGB
+    cfg: FrameworkConfig,
+    paint: bool = True,
+):
+    """One propagation frame, fully on-device. Returns
+    (state, indexed_mask (H,W) i32, logits (1+O,H,W), scores (O,), painted)."""
+    o = cfg.xmem.max_objects
+    state, prob, logits = core.step(xmem_params, state, frame, cfg)
+    masks, indexed = masks_from_prob(prob, o)
+    scores = xmem_object_scores(prob[1:])
+
+    if cfg.refinement.use_refinement:
+        if sam_params is None:
+            raise ValueError("refinement enabled but no SAM params given")
+        emb = predictor.encode_image(sam_params, frame, cfg.sam)
+        res = refine_masks(
+            sam_params, emb, masks, logits[1:], scores,
+            state.memory.obj_valid, cfg,
+        )
+        indexed, scores = res.indexed, res.scores
+
+    painted = paint_indexed(frame, indexed, o) if paint else frame
+    return state, indexed, logits, scores, painted
+
+
+@partial(jax.jit, static_argnames=("cfg", "paint"))
+def track_first_frame(
+    xmem_params: Params,
+    state: core.TrackerState,
+    frame: jax.Array,
+    mask: jax.Array,        # (O, H, W) one-hot
+    mask_valid: jax.Array,  # (O,)
+    cfg: FrameworkConfig,
+    paint: bool = True,
+):
+    """Annotation frame: GT injection, no refinement (the reference skips SAM
+    on the first frame, base_tracker.py:121-131)."""
+    o = cfg.xmem.max_objects
+    state, prob, logits = core.step_with_mask(
+        xmem_params, state, frame, mask, mask_valid, cfg
+    )
+    masks, indexed = masks_from_prob(prob, o)
+    scores = xmem_object_scores(prob[1:])
+    painted = paint_indexed(frame, indexed, o) if paint else frame
+    return state, indexed, logits, scores, painted
+
+
+class Tracker:
+    """Host-side session wrapper (BaseTracker-compatible surface)."""
+
+    def __init__(
+        self,
+        xmem_params: Params,
+        sam_params: Optional[predictor.SamParams],
+        cfg: FrameworkConfig,
+        paint: bool = True,
+    ) -> None:
+        self.xmem_params = xmem_params
+        self.sam_params = sam_params
+        self.cfg = cfg
+        self.paint = paint
+        self.mapper = MaskMapper()
+        self.state: Optional[core.TrackerState] = None
+        self._frame_hw: Optional[Tuple[int, int]] = None
+
+    def clear_memory(self) -> None:
+        """base_tracker.py:1092-1096 (no cuda cache to empty here)."""
+        self.state = None
+        self._frame_hw = None
+        self.mapper.clear()
+
+    def _ensure_state(self, frame: np.ndarray) -> None:
+        hw = frame.shape[:2]
+        if self.state is None or self._frame_hw != hw:
+            self.state = core.init_tracker_state(self.cfg, hw)
+            self._frame_hw = hw
+
+    def track(
+        self,
+        frame: np.ndarray,                       # (H, W, 3) uint8 RGB
+        first_frame_annotation: Optional[np.ndarray] = None,  # (H, W) indexed
+    ):
+        """base_tracker.py:97-212. Returns (final_mask (H, W) uint8 with the
+        ORIGINAL palette labels, logits, painted_image, scores list)."""
+        self._ensure_state(frame)
+        o = self.cfg.xmem.max_objects
+        fj = jnp.asarray(frame)
+
+        if first_frame_annotation is not None:
+            onehot, new_labels = self.mapper.convert_mask(first_frame_annotation)
+            n = onehot.shape[0]
+            if n > o:
+                raise ValueError(
+                    f"{n} objects exceed the static budget max_objects={o}"
+                )
+            mask = np.zeros((o,) + frame.shape[:2], np.float32)
+            valid = np.zeros((o,), bool)
+            for i, lbl in enumerate(new_labels):
+                mask[lbl - 1] = onehot[i]
+                valid[lbl - 1] = True
+            self.state, indexed, logits, scores, painted = track_first_frame(
+                self.xmem_params, self.state, fj, jnp.asarray(mask),
+                jnp.asarray(valid), self.cfg, self.paint,
+            )
+        else:
+            self.state, indexed, logits, scores, painted = track_frame(
+                self.xmem_params, self.sam_params, self.state, fj,
+                self.cfg, self.paint,
+            )
+
+        indexed_np = np.asarray(indexed)
+        final = self.mapper.remap_index_mask(indexed_np).astype(np.uint8)
+        return final, np.asarray(logits), np.asarray(painted), np.asarray(scores).tolist()

@@ -32,14 +32,25 @@ import numpy as np
 
 from vosesam_tpu.config import XMemConfig
 
+# Embedding tables: 2-D `.weight` leaves that must NOT be transposed.
+_EMBEDDING_MARKERS = (
+    "point_embeddings", "not_a_point_embed", "no_mask_embed",
+    "iou_token", "mask_tokens", "hf_token",
+)
+
+
 def _convert_leaf(path: str, arr: np.ndarray, transpose_spec: Mapping[str, str]) -> np.ndarray:
     kind = transpose_spec.get(path)
     if kind == "conv_transpose":
         return np.transpose(arr, (2, 3, 0, 1))
+    if kind == "keep":
+        return arr
     if path.endswith(".weight"):
         if arr.ndim == 4:  # conv OIHW -> HWIO
             return np.transpose(arr, (2, 3, 1, 0))
         if arr.ndim == 2:  # linear
+            if any(m in path for m in _EMBEDDING_MARKERS):
+                return arr
             return arr.T
     return arr
 
@@ -132,6 +143,40 @@ def load_xmem_checkpoint(
 
     tree = state_dict_to_tree(sd, renames={"key_encoder.res2.": "key_encoder.layer1."})
     return tree, cfg
+
+
+# -------------------------------------------------------------------- SAM
+
+def load_sam_checkpoint(path: str, cfg) -> "SamParams":
+    """Load sam_vit_{b,l,h}_*.pth or sam_hq_vit_h.pth into SamParams.
+
+    The official state dict is flat with image_encoder./prompt_encoder./
+    mask_decoder. prefixes; ConvTranspose2d weights (output_upscaling.0/.3,
+    and the HQ compress_vit_feat/embedding_encoder pairs) need the IOHW
+    spec."""
+    import torch
+
+    from vosesam_tpu.models.sam.predictor import SamParams
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    convt = {}
+    for k in sd:
+        if any(
+            s in k
+            for s in (
+                "output_upscaling.0.weight", "output_upscaling.3.weight",
+                "compress_vit_feat.0.weight", "compress_vit_feat.3.weight",
+                "embedding_encoder.0.weight", "embedding_encoder.3.weight",
+            )
+        ):
+            convt[k] = "conv_transpose"
+    tree = state_dict_to_tree(sd, transpose_spec=convt)
+    # pos_embed is stored (1, H, W, C) already channel-last in torch SAM.
+    return SamParams(
+        image_encoder=tree["image_encoder"],
+        prompt_encoder=tree["prompt_encoder"],
+        mask_decoder=tree["mask_decoder"],
+    )
 
 
 def _orthogonal_like(rng, shape):
