@@ -1,0 +1,129 @@
+"""Multi-device tests on the virtual 8-CPU mesh: DP evaluation step,
+TP param sharding, batched-state mechanics."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vosesam_tpu.config import (
+    FrameworkConfig,
+    MemoryConfig,
+    ParallelConfig,
+    RefinementConfig,
+    SAMConfig,
+    XMemConfig,
+)
+from vosesam_tpu.models.sam import predictor
+from vosesam_tpu.models.xmem import network as xnet
+from vosesam_tpu.parallel import evaluation, mesh as meshlib
+
+H, W = 32, 32
+
+CFG = FrameworkConfig(
+    xmem=XMemConfig(max_objects=2),
+    memory=MemoryConfig(
+        max_mid_term_frames=3, min_mid_term_frames=2,
+        max_long_term_elements=32, num_prototypes=4, top_k=4, mem_every=2,
+    ),
+    sam=SAMConfig(model_type="vit_b", image_size=64, window_size=4,
+                  vit_dims=(("vit_b", 32, 2, 2, (1,)),)),
+    refinement=RefinementConfig(use_refinement=False, min_region_area=5.0),
+    dtype="float32",
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return meshlib.make_mesh(CFG.parallel)
+
+
+@pytest.fixture(scope="module")
+def xmem_params():
+    return xnet.xmem_init(jax.random.PRNGKey(0), CFG.xmem)
+
+
+def batch_inputs(b=8):
+    r = np.random.default_rng(0)
+    frames = r.integers(0, 255, (b, H, W, 3), np.uint8)
+    masks = np.zeros((b, 2, H, W), np.float32)
+    masks[:, 0, 8:20, 8:24] = 1.0
+    valid = np.zeros((b, 2), bool)
+    valid[:, 0] = True
+    return jnp.asarray(frames), jnp.asarray(masks), jnp.asarray(valid)
+
+
+class TestMesh:
+    def test_mesh_shape(self, mesh):
+        assert mesh.devices.shape == (8, 1)
+        assert mesh.axis_names == ("data", "model")
+
+    def test_tp_mesh(self):
+        cfg = ParallelConfig(model_parallel=2)
+        m = meshlib.make_mesh(cfg)
+        assert m.devices.shape == (4, 2)
+
+    def test_sam_tp_sharding(self):
+        cfg = ParallelConfig(model_parallel=2)
+        m = meshlib.make_mesh(cfg)
+        sp = predictor.sam_init(jax.random.PRNGKey(1), CFG.sam)
+        sharded = meshlib.shard_sam_params_tp(sp, m, cfg)
+        qkv = sharded.image_encoder["blocks"]["0"]["attn"]["qkv"]["weight"]
+        # column-parallel: output dim split over 2 model shards
+        shard_shapes = {s.data.shape for s in qkv.addressable_shards}
+        assert shard_shapes == {(32, 96 // 2)}
+        lin2 = sharded.image_encoder["blocks"]["0"]["mlp"]["lin2"]["weight"]
+        assert {s.data.shape for s in lin2.addressable_shards} == {(64, 32)}
+
+
+class TestBatchedEvaluation:
+    def test_dp_step_runs_and_matches_single(self, mesh, xmem_params):
+        b = 8
+        frames, masks, valid = batch_inputs(b)
+        states = evaluation.init_batched_state(CFG, (H, W), b)
+        states = meshlib.shard_batch(states, mesh, CFG.parallel)
+        step = evaluation.make_batched_step(CFG, mesh)
+
+        first = jnp.ones((b,), bool)
+        states, indexed, scores = step(
+            xmem_params, None, states, frames, first, masks, valid
+        )
+        assert indexed.shape == (b, H, W)
+        # all videos identical: results identical across the batch
+        np.testing.assert_array_equal(np.asarray(indexed[0]), np.asarray(indexed[3]))
+
+        # propagation step
+        first = jnp.zeros((b,), bool)
+        states, indexed2, scores2 = step(
+            xmem_params, None, states, frames, first, masks, valid
+        )
+        assert int(states.curr_ti[0]) == 1
+        # matches the single-video reference path
+        from vosesam_tpu.inference import core
+        st1 = core.init_tracker_state(CFG, (H, W))
+        st1, p1, _ = core.step_with_mask(
+            xmem_params, st1, frames[0], masks[0], valid[0], CFG
+        )
+        st1, p2, _ = core.step(xmem_params, st1, frames[0], CFG)
+        single_idx = np.asarray(jnp.argmax(p2, 0))
+        np.testing.assert_array_equal(np.asarray(indexed2[0]), single_idx)
+
+    def test_dp_step_with_refinement(self, mesh, xmem_params):
+        cfg = dataclasses.replace(
+            CFG, refinement=RefinementConfig(use_refinement=True, min_region_area=5.0)
+        )
+        sp = predictor.sam_init(jax.random.PRNGKey(1), cfg.sam)
+        b = 8
+        frames, masks, valid = batch_inputs(b)
+        states = evaluation.init_batched_state(cfg, (H, W), b)
+        step = evaluation.make_batched_step(cfg, mesh)
+        first = jnp.ones((b,), bool)
+        states, indexed, scores = step(xmem_params, sp, states, frames, first, masks, valid)
+        first = jnp.zeros((b,), bool)
+        states, indexed, scores = step(xmem_params, sp, states, frames, first, masks, valid)
+        assert indexed.shape == (b, H, W)
+        # valid objects get finite scores; padded slots are -inf by design
+        assert np.isfinite(np.asarray(scores)[:, 0]).all()
+        assert np.all(np.asarray(scores)[:, 1] == -np.inf)

@@ -50,7 +50,9 @@ def init_tracker_state(cfg: FrameworkConfig, frame_hw: Tuple[int, int]) -> Track
     h, w = frame_hw
     ph = -(-h // 16) * 16
     pw = -(-w // 16) * 16
-    mem = init_memory(cfg.memory, cfg.xmem, (ph // 16, pw // 16))
+    mem = init_memory(
+        cfg.memory, cfg.xmem, (ph // 16, pw // 16), dtype=jnp.dtype(cfg.dtype)
+    )
     return TrackerState(
         memory=mem,
         curr_ti=jnp.int32(-1),
@@ -106,7 +108,7 @@ def step(
     """Propagate one frame. Returns (state, prob_with_bg (1+O, H, W),
     logits_with_bg (1+O, H, W))."""
     state = state.replace(curr_ti=state.curr_ti + 1)
-    frame_n = im_normalize(frame)
+    frame_n = im_normalize(frame).astype(jnp.dtype(cfg.dtype))
     frame_p, pad = pad_divide_by(frame_n, 16)
     hw = (frame_p.shape[0] // 16) * (frame_p.shape[1] // 16)
     obj_valid = state.memory.obj_valid
@@ -117,8 +119,8 @@ def step(
     state = state.replace(memory=mem)
 
     hidden_dec, logits_with_bg, prob_with_bg = xnet.segment(
-        params, feats, readout, state.memory.hidden, obj_valid, cfg.xmem,
-        h_out=True, strip_bg=False,
+        params, feats, readout.astype(frame_p.dtype), state.memory.hidden,
+        obj_valid, cfg.xmem, h_out=True, strip_bg=False,
     )
     prob_no_bg = prob_with_bg[1:]
 
@@ -153,7 +155,7 @@ def step_with_mask(
     unlabeled tracked objects keep their predictions. Always a memory frame.
     """
     state = state.replace(curr_ti=state.curr_ti + 1)
-    frame_n = im_normalize(frame)
+    frame_n = im_normalize(frame).astype(jnp.dtype(cfg.dtype))
     frame_p, pad = pad_divide_by(frame_n, 16)
     mask_p, _ = pad_divide_by(mask, 16, axes=(-2, -1))
     hw = (frame_p.shape[0] // 16) * (frame_p.shape[1] // 16)
@@ -168,8 +170,8 @@ def step_with_mask(
 
     # Predicted probs for already-tracked objects (zeros on frame 0).
     _, _, prob_with_bg_pred = xnet.segment(
-        params, feats, readout, state.memory.hidden, state.memory.obj_valid,
-        cfg.xmem, h_out=False, strip_bg=False,
+        params, feats, readout.astype(frame_p.dtype), state.memory.hidden,
+        state.memory.obj_valid, cfg.xmem, h_out=False, strip_bg=False,
     )
     pred_no_bg = jnp.where(is_first, 0.0, prob_with_bg_pred[1:])
 

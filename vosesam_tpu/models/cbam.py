@@ -43,6 +43,11 @@ def cbam_init(key, channels: int, reduction: int = 16, dtype=jnp.float32) -> Par
 
 def cbam(x: jax.Array, p: Params) -> jax.Array:
     """x: (..., H, W, C) -> gated features of the same shape."""
+    # XLA:TPU miscompiles the global-pool reductions when fused into the
+    # surrounding conv graph (NaNs at 480p; CPU and standalone-jit are fine).
+    # The barrier forces the producer to materialize first. Verified on
+    # TPU v5e (axon), JAX 0.9.0 — re-evaluate on toolchain upgrades.
+    x = jax.lax.optimization_barrier(x)
     mlp = p["ChannelGate"]["mlp"]
 
     def gate_mlp(pooled):  # (..., 1, 1, C)

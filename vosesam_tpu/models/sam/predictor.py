@@ -72,8 +72,12 @@ def preprocess(img: jax.Array, cfg: SAMConfig) -> Tuple[jax.Array, Tuple[int, in
 
 
 def encode_image(params: SamParams, img: jax.Array, cfg: SAMConfig) -> ImageEmbedding:
-    """The per-frame ViT encode — the pipeline's hottest op (§3.2)."""
+    """The per-frame ViT encode — the pipeline's hottest op (§3.2).
+
+    Compute dtype follows the weights (bf16 params -> bf16 activations with
+    fp32 softmax, the TPU-native precision recipe)."""
     x, input_hw = preprocess(img, cfg)
+    x = x.astype(params.image_encoder["patch_embed"]["proj"]["weight"].dtype)
     if cfg.hq:
         emb, interm = image_encoder.vit_encode(
             params.image_encoder, x, cfg, return_interm=True

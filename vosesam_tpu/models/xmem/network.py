@@ -108,6 +108,7 @@ def encode_value(
     """network.py:72-87 + modules.py ValueEncoder: returns ((O, H/16, W/16,
     C_v) value, updated hidden)."""
     vp = params["value_encoder"]
+    masks = masks.astype(frame.dtype)
     others = compute_others(masks, valid)
     if cfg.single_object:
         g = masks[..., None]
@@ -160,7 +161,7 @@ def segment(
             g16, g8, g4_cat, hidden, dp["hidden_update"], cfg.hidden_dim
         )
 
-    logits = interpolate_bilinear(logits_lr, 4.0)[..., 0]  # (O, H, W)
+    logits = interpolate_bilinear(logits_lr, 4.0)[..., 0].astype(jnp.float32)
     prob = jax.nn.sigmoid(logits)
     agg, agg_logits = soft_aggregate(prob, valid, dim=0, return_logits=True)
     if strip_bg:

@@ -28,7 +28,9 @@ def soft_aggregate(
 
     valid: optional (N,) bool — padded-object mask. Returns (1+N, ...)
     aggregated distribution (background first), and logits if requested.
+    Always computes in fp32 (log/exp precision) regardless of input dtype.
     """
+    prob = prob.astype(jnp.float32)
     if valid is not None:
         vshape = (prob.shape[dim],) + (1,) * (prob.ndim - 1)
         v = jnp.reshape(valid, vshape)
