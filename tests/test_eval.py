@@ -1,0 +1,200 @@
+"""Evaluation harness tests: metrics math, dataset layout loaders, runner CSVs."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from vosesam_tpu.eval import metrics as M
+from vosesam_tpu.eval.datasets import DavisDataset, LongVideoDataset, unify_masks
+from vosesam_tpu.eval.palette import pascal_colormap, save_palette_mask, load_palette_mask
+
+
+class TestJ:
+    def test_iou_exact(self):
+        gt = np.zeros((10, 10), np.uint8)
+        gt[:5, :5] = 1
+        pred = np.zeros((10, 10), np.uint8)
+        pred[:5, :4] = 1
+        ious = M.calculate_iou(pred, gt)
+        assert ious == {1: 20 / 25}
+
+    def test_iou_labels_from_gt(self):
+        gt = np.zeros((6, 6), np.uint8)
+        gt[0, 0] = 2
+        pred = np.zeros((6, 6), np.uint8)
+        pred[5, 5] = 9  # label not in GT: ignored
+        ious = M.calculate_iou(pred, gt)
+        assert set(ious) == {2}
+        assert ious[2] == 0.0
+
+
+class TestF:
+    def test_perfect_match(self):
+        m = np.zeros((40, 40), np.uint8)
+        m[10:30, 10:30] = 1
+        assert M.db_eval_boundary(m, m) == 1.0
+
+    def test_shifted_worse_than_exact(self):
+        gt = np.zeros((60, 60), np.uint8)
+        gt[20:40, 20:40] = 1
+        near = np.roll(gt, 1, axis=0)
+        far = np.roll(gt, 10, axis=0)
+        f_near = M.db_eval_boundary(near, gt)
+        f_far = M.db_eval_boundary(far, gt)
+        assert f_near > f_far
+        assert f_near > 0.9    # 1-px shift within the tolerance band
+
+    def test_empty_cases(self):
+        z = np.zeros((20, 20), np.uint8)
+        o = np.zeros((20, 20), np.uint8)
+        o[5:10, 5:10] = 1
+        assert M.db_eval_boundary(z, z) == 1.0
+        assert M.db_eval_boundary(o, z) == 0.0
+        assert M.db_eval_boundary(z, o) == 0.0
+
+
+class TestStatistics:
+    def test_mean_recall(self):
+        v = np.array([1.0, 0.8, 0.6, 0.4, 0.2])
+        m, r, d = M.db_statistics(v)
+        assert m == pytest.approx(0.6)
+        assert r == pytest.approx(3 / 5)
+
+    def test_decay_decreasing_trace(self):
+        v = np.linspace(1.0, 0.0, 20)
+        _, _, d = M.db_statistics(v)
+        assert d > 0.5  # strong decay
+
+    def test_decay_flat(self):
+        _, _, d = M.db_statistics(np.full(20, 0.7))
+        assert d == pytest.approx(0.0)
+
+
+class TestAP:
+    def test_perfect_predictions(self):
+        gt = np.zeros((50, 50), np.uint8)
+        gt[:20, :20] = 1
+        rows = M.true_positives(gt, gt, {1: 0.99})
+        ap = M.calculate_video_AP(rows)
+        assert ap["AP"] == pytest.approx(1.0)
+        assert ap["AP50"] == pytest.approx(1.0)
+
+    def test_miss_is_zero(self):
+        gt = np.zeros((50, 50), np.uint8)
+        gt[:20, :20] = 1
+        pred = np.zeros_like(gt)
+        rows = M.true_positives(pred, gt, {1: 0.9})
+        ap = M.calculate_video_AP(rows)
+        assert ap["AP"] == 0.0
+
+    def test_area_buckets(self):
+        gt = np.zeros((200, 200), np.uint8)
+        gt[:5, :5] = 1          # 25 px -> small
+        gt[50:150, 50:150] = 2  # 10000 px -> large
+        rows = M.true_positives(gt, gt, {1: 0.9, 2: 0.8})
+        buckets = {r["label"]: r["area"] for r in rows}
+        assert buckets == {1: "small", 2: "large"}
+
+
+class TestVideoMetrics:
+    def test_aggregates(self):
+        gt = np.zeros((30, 30), np.uint8)
+        gt[5:20, 5:20] = 1
+        preds = [gt.copy() for _ in range(5)]
+        gts = [gt.copy() for _ in range(5)]
+        vm = M.compute_all_video_metrics(preds, gts)
+        assert vm["J_mean"] == pytest.approx(1.0)
+        assert vm["F_mean"] == pytest.approx(1.0)
+        assert vm["JF_mean"] == pytest.approx(1.0)
+        assert vm["per_object"][1]["J_mean"] == pytest.approx(1.0)
+
+    def test_sparse_gt_skipped(self):
+        gt = np.zeros((30, 30), np.uint8)
+        gt[5:20, 5:20] = 1
+        preds = [gt.copy() for _ in range(5)]
+        gts = [None, gt, None, gt, None]
+        vm = M.compute_all_video_metrics(preds, gts)
+        assert len(vm["J_trace"]) == 2
+
+
+def make_davis_layout(root, videos=("bear",), n_frames=3, size=(32, 48)):
+    os.makedirs(os.path.join(root, "ImageSets", "2017"), exist_ok=True)
+    with open(os.path.join(root, "ImageSets", "2017", "val.txt"), "w") as f:
+        f.write("\n".join(videos) + "\n")
+    rng = np.random.default_rng(0)
+    for v in videos:
+        img_dir = os.path.join(root, "JPEGImages", "480p", v)
+        ann_dir = os.path.join(root, "Annotations", "480p", v)
+        os.makedirs(img_dir, exist_ok=True)
+        os.makedirs(ann_dir, exist_ok=True)
+        for i in range(n_frames):
+            img = rng.integers(0, 255, size + (3,), np.uint8)
+            Image.fromarray(img).save(os.path.join(img_dir, f"{i:05d}.jpg"))
+            m = np.zeros(size, np.uint8)
+            m[8:20, 10 + i:26 + i] = 1
+            save_palette_mask(m, os.path.join(ann_dir, f"{i:05d}.png"))
+
+
+class TestDatasets:
+    def test_davis_layout(self, tmp_path):
+        make_davis_layout(str(tmp_path))
+        ds = DavisDataset(str(tmp_path), "2017/val.txt")
+        assert len(ds) == 1
+        info = ds.video_info("bear")
+        assert info["num_frames"] == 3 and info["num_objects"] == 1
+        fr = ds.load_frame("bear", info["frames"][0])
+        assert fr.shape == (32, 48, 3)
+        m = ds.load_mask("bear", info["frames"][1])
+        assert m.max() == 1
+
+    def test_longvideo_sparse(self, tmp_path):
+        root = str(tmp_path / "long")
+        os.makedirs(os.path.join(root, "JPEGImages", "clip"), exist_ok=True)
+        os.makedirs(os.path.join(root, "Annotations", "clip"), exist_ok=True)
+        for i in range(6):
+            Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(
+                os.path.join(root, "JPEGImages", "clip", f"{i:05d}.jpg")
+            )
+        for i in (0, 3):   # only two annotated frames
+            m = np.zeros((16, 16), np.uint8)
+            m[4:8, 4:8] = 1
+            save_palette_mask(m, os.path.join(root, "Annotations", "clip", f"{i:05d}.png"))
+        ds = LongVideoDataset(root)
+        info = ds.video_info("clip")
+        assert info["test_ids"] == [0, 3]
+        assert len(ds.get_all_masks("clip")) == 2
+
+    def test_unify_masks(self):
+        a = np.zeros((8, 8)); a[:2] = 1
+        b = np.zeros((8, 8)); b[6:] = 1
+        u = unify_masks([a, b], [1, 2])
+        assert u[0, 0] == 1 and u[7, 0] == 2
+
+    def test_palette_roundtrip(self, tmp_path):
+        m = np.zeros((10, 10), np.uint8)
+        m[2:5, 3:7] = 3
+        p = str(tmp_path / "m.png")
+        save_palette_mask(m, p)
+        back = load_palette_mask(p)
+        np.testing.assert_array_equal(back, m)
+
+
+class TestRunner:
+    def test_davis_runner_end_to_end(self, tmp_path, monkeypatch):
+        from tests.test_pipeline import tiny_cfg
+        from vosesam_tpu.eval.runner import run_model_on_davis_set
+        from vosesam_tpu.pipeline.track_anything import TrackingAnything
+
+        make_davis_layout(str(tmp_path / "davis"), n_frames=3, size=(32, 48))
+        monkeypatch.chdir(tmp_path)
+        ds = DavisDataset(str(tmp_path / "davis"), "2017/val.txt")
+        model = TrackingAnything(cfg=tiny_cfg(False))
+        df = run_model_on_davis_set("testrun", model, ds, save_masks=True)
+        assert len(df) == 1
+        assert 0.0 <= df["JF_mean"].iloc[0] <= 1.0
+        assert os.path.exists("result/testrun/whole_metrics.csv")
+        assert os.path.exists("result/testrun/per_object_metrics.csv")
+        assert os.path.exists("result/all_tests.csv")
+        assert os.path.exists("result/testrun/masks/bear/00001.png")

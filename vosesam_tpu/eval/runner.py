@@ -1,0 +1,205 @@
+"""Per-dataset evaluation drivers.
+
+Reference: tools/runner.py — run_model_on_davis_set (:13-124),
+run_model_on_longdata_set (:127-223, metrics only at annotated frame ids),
+run_model_on_longVOS_set (:226-284, masks/videos saved for external eval).
+Common protocol per video: clear tracker memory, run the generator, compute
+J&F + AP, append CSV rows (whole_metrics.csv / per_object_metrics.csv /
+global all_tests.csv ledger :11,104-122), optionally dump palette PNGs and
+an mp4."""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+import pandas as pd
+
+from vosesam_tpu.eval import metrics as M
+from vosesam_tpu.eval.datasets import DavisDataset, LongVideoDataset
+from vosesam_tpu.eval.palette import save_palette_mask
+
+ALL_TESTS_CSV = "./result/all_tests.csv"
+
+
+def _result_dir(runname: str) -> str:
+    d = os.path.join("./result", runname)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _append_global_ledger(row: Dict) -> None:
+    os.makedirs(os.path.dirname(ALL_TESTS_CSV), exist_ok=True)
+    df = pd.DataFrame([row])
+    header = not os.path.exists(ALL_TESTS_CSV)
+    df.to_csv(ALL_TESTS_CSV, mode="a", header=header, index=False)
+
+
+def _eval_one_video(
+    model, frames: List[np.ndarray], template_mask: np.ndarray,
+    gt_masks: List[Optional[np.ndarray]],
+) -> Dict:
+    model.xmem.clear_memory()
+    t0 = time.time()
+    masks, logits, painted, scores = model.generator(frames, template_mask)
+    dt = time.time() - t0
+    model.xmem.clear_memory()
+
+    video_metrics = M.compute_all_video_metrics(masks, gt_masks)
+    ap_rows: List[dict] = []
+    for i, gt in enumerate(gt_masks):
+        if gt is None or i == 0:
+            continue
+        score_map = {
+            l + 1: (scores[i][l] if l < len(scores[i]) else 0.0)
+            for l in range(int(gt.max()))
+        }
+        ap_rows.extend(M.true_positives(masks[i], gt, score_map))
+    video_metrics.update(M.calculate_video_AP(ap_rows))
+    video_metrics["fps"] = len(frames) / dt if dt > 0 else 0.0
+    video_metrics["masks"] = masks
+    video_metrics["scores"] = scores
+    return video_metrics
+
+
+def _write_video_csvs(run_dir: str, per_video: List[Dict]) -> None:
+    whole = pd.DataFrame([
+        {k: v for k, v in vm.items()
+         if k not in ("per_object", "J_trace", "F_trace", "masks", "scores")}
+        for vm in per_video
+    ])
+    whole.to_csv(os.path.join(run_dir, "whole_metrics.csv"), index=False)
+    rows = []
+    for vm in per_video:
+        for label, ms in vm["per_object"].items():
+            rows.append({"video": vm["video"], "object": label, **ms})
+    pd.DataFrame(rows).to_csv(
+        os.path.join(run_dir, "per_object_metrics.csv"), index=False
+    )
+
+
+def run_model_on_davis_set(
+    runname: str,
+    model,
+    dataset: DavisDataset,
+    compute_metrics: bool = True,
+    save_masks: bool = False,
+    compute_video: bool = False,
+    max_videos: Optional[int] = None,
+) -> pd.DataFrame:
+    """runner.py:13-124."""
+    run_dir = _result_dir(runname)
+    per_video: List[Dict] = []
+    for vi, info in enumerate(dataset.iter_videos()):
+        if max_videos is not None and vi >= max_videos:
+            break
+        video = info["name"]
+        frames = [dataset.load_frame(video, f) for f in info["frames"]]
+        gts = [dataset.load_mask(video, f) for f in info["frames"]]
+        vm = _eval_one_video(model, frames, gts[0], gts)
+        vm["video"] = video
+        per_video.append(vm)
+        if save_masks:
+            mask_dir = os.path.join(run_dir, "masks", video)
+            os.makedirs(mask_dir, exist_ok=True)
+            for f, m in zip(info["frames"], vm["masks"]):
+                save_palette_mask(
+                    m, os.path.join(mask_dir, f.replace(".jpg", ".png"))
+                )
+        if compute_video:
+            from vosesam_tpu.eval.video_io import write_video
+            write_video(
+                os.path.join(run_dir, f"{video}.mp4"),
+                [p for p in vm["masks"]], fps=10,
+            )
+        pd.DataFrame({"scores": [s for s in vm["scores"]]}).to_csv(
+            os.path.join(run_dir, f"{video}_scores.csv"), index=False
+        )
+
+    _write_video_csvs(run_dir, per_video)
+    agg = {
+        "run": runname,
+        "dataset": "DAVIS",
+        "JF_mean": float(np.mean([v["JF_mean"] for v in per_video])),
+        "J_mean": float(np.mean([v["J_mean"] for v in per_video])),
+        "F_mean": float(np.mean([v["F_mean"] for v in per_video])),
+        "AP": float(np.mean([v["AP"] for v in per_video])),
+        "fps": float(np.mean([v["fps"] for v in per_video])),
+    }
+    _append_global_ledger(agg)
+    return pd.DataFrame(per_video).drop(
+        columns=["per_object", "J_trace", "F_trace", "masks", "scores"]
+    )
+
+
+def run_model_on_longdata_set(
+    runname: str,
+    model,
+    dataset: LongVideoDataset,
+    save_masks: bool = False,
+    max_videos: Optional[int] = None,
+) -> pd.DataFrame:
+    """runner.py:127-223 — metrics only at annotated frame ids."""
+    run_dir = _result_dir(runname)
+    per_video: List[Dict] = []
+    for vi, info in enumerate(dataset.iter_videos()):
+        if max_videos is not None and vi >= max_videos:
+            break
+        video = info["name"]
+        frames = [dataset.load_frame(video, f) for f in info["frames"]]
+        gts: List[Optional[np.ndarray]] = [None] * len(frames)
+        for i in info["test_ids"]:
+            gts[i] = dataset.load_mask(video, info["frames"][i])
+        template = gts[info["test_ids"][0]]
+        vm = _eval_one_video(model, frames, template, gts)
+        vm["video"] = video
+        per_video.append(vm)
+        if save_masks:
+            mask_dir = os.path.join(run_dir, "masks", video)
+            os.makedirs(mask_dir, exist_ok=True)
+            for i in info["test_ids"]:
+                save_palette_mask(
+                    vm["masks"][i],
+                    os.path.join(mask_dir, os.path.splitext(info["frames"][i])[0] + ".png"),
+                )
+    _write_video_csvs(run_dir, per_video)
+    agg = {
+        "run": runname,
+        "dataset": "LongDataset",
+        "JF_mean": float(np.mean([v["JF_mean"] for v in per_video])),
+        "J_mean": float(np.mean([v["J_mean"] for v in per_video])),
+        "F_mean": float(np.mean([v["F_mean"] for v in per_video])),
+        "AP": float(np.mean([v["AP"] for v in per_video])),
+        "fps": float(np.mean([v["fps"] for v in per_video])),
+    }
+    _append_global_ledger(agg)
+    return pd.DataFrame(per_video).drop(
+        columns=["per_object", "J_trace", "F_trace", "masks", "scores"]
+    )
+
+
+def run_model_on_longvos_set(
+    runname: str,
+    model,
+    dataset: LongVideoDataset,
+    max_videos: Optional[int] = None,
+) -> None:
+    """runner.py:226-284 — no metrics; masks saved for external evaluation."""
+    run_dir = _result_dir(runname)
+    for vi, info in enumerate(dataset.iter_videos()):
+        if max_videos is not None and vi >= max_videos:
+            break
+        video = info["name"]
+        frames = [dataset.load_frame(video, f) for f in info["frames"]]
+        template = dataset.load_mask(video, info["frames"][info["test_ids"][0]])
+        model.xmem.clear_memory()
+        masks, *_ = model.generator(frames, template)
+        model.xmem.clear_memory()
+        mask_dir = os.path.join(run_dir, "masks", video)
+        os.makedirs(mask_dir, exist_ok=True)
+        for f, m in zip(info["frames"], masks):
+            save_palette_mask(
+                m, os.path.join(mask_dir, os.path.splitext(f)[0] + ".png")
+            )

@@ -165,7 +165,9 @@ def _consolidate(state: MemoryState, cfg: MemoryConfig, hw: int) -> MemoryState:
     min_work = cfg.min_mid_term_frames * hw
     nc = cw - min_work                 # candidate count (static)
     keep_tail = min_work - hw          # recent tokens kept (static)
-    p = cfg.num_prototypes
+    # At tiny resolutions the candidate window can be smaller than the
+    # prototype budget — clamp (static, shapes stay fixed per resolution).
+    p = min(cfg.num_prototypes, nc)
     o = work.values.shape[0]
 
     # ---- candidate slices (start=hw, length=nc — both static)
