@@ -1,0 +1,352 @@
+"""E2FGVI-HQ building blocks, functional JAX.
+
+Reference: inpainter/model/modules/ —
+  - flow_comp.py: SPyNet (:49-185, 6 pyramid levels, 7x7 conv stacks) and
+    flow_warp (:345, grid_sample with align_corners=True);
+  - feat_prop.py: SecondOrderDeformableAlignment (:13-59, mmcv
+    ModulatedDeformConv2d with flow-guided offsets) and
+    BidirectionalPropagation (:60-149);
+  - tfocal_transformer_hq.py: SoftSplit (:19), SoftComp (:49),
+    FusionFeedForward (:82), temporal focal WindowAttention (:173),
+    TemporalFocalTransformerBlock (:430).
+
+TPU notes: the mmcv CUDA deformable conv becomes a gather-based bilinear
+sampler + one big matmul (exact same math); unfold/fold become
+conv_general_dilated_patches and a 49-way strided scatter-add; everything is
+static-shape and jittable. Param names mirror the torch checkpoints."""
+
+from __future__ import annotations
+
+import math
+from functools import reduce
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vosesam_tpu.models.layers import (
+    Params,
+    conv2d,
+    conv_init,
+    gelu,
+    layer_norm,
+    linear,
+    linear_init,
+    ln_init,
+)
+
+
+def leaky_relu(x, slope=0.2):
+    return jnp.where(x >= 0, x, slope * x)
+
+
+# ----------------------------------------------------------------- flow warp
+
+def flow_warp(x: jax.Array, flow: jax.Array, padding_zero: bool = True) -> jax.Array:
+    """Warp (..., H, W, C) by flow (..., H, W, 2[xy]) — grid_sample bilinear,
+    align_corners=True semantics on absolute pixel offsets (flow_comp.py:345).
+    Out-of-range samples read zeros (or clamped border)."""
+    if x.ndim == 3:
+        return flow_warp(x[None], flow[None], padding_zero)[0]
+    b, h, w, c = x.shape
+    yy = jnp.arange(h, dtype=flow.dtype)[:, None]
+    xx = jnp.arange(w, dtype=flow.dtype)[None, :]
+    gx = xx + flow[..., 0]
+    gy = yy + flow[..., 1]
+
+    x0 = jnp.floor(gx)
+    y0 = jnp.floor(gy)
+    wx = (gx - x0)[..., None]
+    wy = (gy - y0)[..., None]
+
+    flat = x.reshape(b, h * w, c)
+
+    def gather(yi, xi):
+        inb = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        idx = (yc * w + xc).reshape(b, h * w)
+        v = jnp.take_along_axis(flat, idx[..., None], axis=1).reshape(b, h, w, c)
+        if padding_zero:
+            v = v * inb[..., None].astype(v.dtype)
+        return v
+
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x0 + 1)
+    v10 = gather(y0 + 1, x0)
+    v11 = gather(y0 + 1, x0 + 1)
+    return (
+        v00 * (1 - wx) * (1 - wy) + v01 * wx * (1 - wy)
+        + v10 * (1 - wx) * wy + v11 * wx * wy
+    )
+
+
+# -------------------------------------------------------------------- SPyNet
+
+SPYNET_CHANNELS = ((8, 32), (32, 64), (64, 32), (32, 16), (16, 2))
+
+
+def spynet_init(key, dtype=jnp.float32) -> Params:
+    levels: Params = {}
+    for lvl in range(6):
+        convs: Params = {}
+        for i, (cin, cout) in enumerate(SPYNET_CHANNELS):
+            convs[str(i)] = {
+                "conv": conv_init(
+                    jax.random.fold_in(key, lvl * 10 + i), 7, 7, cin, cout, dtype=dtype
+                )
+            }
+        levels[str(lvl)] = {"basic_module": convs}
+    return {"basic_module": levels}
+
+
+def _spynet_basic(x: jax.Array, p: Params) -> jax.Array:
+    for i in range(len(SPYNET_CHANNELS)):
+        x = conv2d(x, p["basic_module"][str(i)]["conv"], padding=3)
+        if i < len(SPYNET_CHANNELS) - 1:
+            x = jnp.maximum(x, 0)
+    return x
+
+
+def _avg_pool2(x: jax.Array) -> jax.Array:
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    ) / 4.0
+
+
+IMAGENET_MEAN = jnp.array([0.485, 0.456, 0.406])
+IMAGENET_STD = jnp.array([0.229, 0.224, 0.225])
+
+
+def spynet_flow(params: Params, ref: jax.Array, supp: jax.Array) -> jax.Array:
+    """ref, supp: (B, H, W, 3) in [0, 1] -> flow (B, H, W, 2) ref->supp.
+
+    flow_comp.py:87-170: 6-level coarse-to-fine with x2 upsampled flow
+    residuals; inputs resized to a multiple of 32 by the caller."""
+    b, h, w, _ = ref.shape
+    assert h % 32 == 0 and w % 32 == 0, "spynet inputs must be /32"
+    r = (ref - IMAGENET_MEAN.astype(ref.dtype)) / IMAGENET_STD.astype(ref.dtype)
+    s = (supp - IMAGENET_MEAN.astype(ref.dtype)) / IMAGENET_STD.astype(ref.dtype)
+    refs, supps = [r], [s]
+    for _ in range(5):
+        refs.append(_avg_pool2(refs[-1]))
+        supps.append(_avg_pool2(supps[-1]))
+    refs, supps = refs[::-1], supps[::-1]
+
+    flow = jnp.zeros((b, h // 32, w // 32, 2), ref.dtype)
+    for lvl in range(6):
+        if lvl == 0:
+            flow_up = flow
+        else:
+            nh, nw = refs[lvl].shape[1:3]
+            flow_up = jax.image.resize(flow, (b, nh, nw, 2), "linear") * 2.0
+        warped = flow_warp(supps[lvl], flow_up, padding_zero=False)
+        inp = jnp.concatenate([refs[lvl], warped, flow_up], axis=-1)
+        flow = flow_up + _spynet_basic(inp, params["basic_module"][str(lvl)])
+    return flow
+
+
+# ------------------------------------------------- modulated deformable conv
+
+def modulated_deform_conv(
+    x: jax.Array,        # (B, H, W, Cin)
+    offset: jax.Array,   # (B, H, W, 2*G*K) — (y, x) interleaved per mmcv
+    mask: jax.Array,     # (B, H, W, G*K)
+    weight: jax.Array,   # (3, 3, Cin, Cout) HWIO
+    bias: Optional[jax.Array],
+    deform_groups: int,
+) -> jax.Array:
+    """ModulatedDeformConv2d (mmcv) as gather + matmul: for each kernel tap k
+    and deform group g, bilinearly sample x_g at (p + p_k + Δp_gk), scale by
+    the modulation mask, then contract with the 3x3 kernel as one matmul."""
+    b, h, w, cin = x.shape
+    g = deform_groups
+    k = 9  # 3x3
+    cg = cin // g
+    # mmcv offset layout: (B, G*K*2, H, W) with (y, x) pairs -> ours NHWC
+    off = offset.reshape(b, h, w, g, k, 2)
+    m = mask.reshape(b, h, w, g, k)
+
+    taps = []
+    idx = 0
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            o = off[:, :, :, :, idx, :]          # (B, H, W, G, 2) (y, x)
+            flow = jnp.stack(
+                [o[..., 1] + dx, o[..., 0] + dy], axis=-1
+            )                                     # (B, H, W, G, 2) (x, y)
+            xg = x.reshape(b, h, w, g, cg)
+            sampled = jax.vmap(
+                lambda xx, ff: flow_warp(xx, ff), in_axes=(3, 3), out_axes=3
+            )(xg, flow)                           # (B, H, W, G, cg)
+            sampled = sampled * m[:, :, :, :, idx][..., None]
+            taps.append(sampled.reshape(b, h, w, cin))
+            idx += 1
+
+    patches = jnp.stack(taps, axis=3)             # (B, H, W, 9, Cin)
+    wmat = weight.reshape(9 * cin, -1)             # HWIO (3,3,Cin,Cout)
+    out = jnp.dot(
+        patches.reshape(b, h, w, 9 * cin), wmat.astype(patches.dtype),
+        preferred_element_type=patches.dtype,
+    )
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+def deform_align_init(key, channel: int, deform_groups: int = 16, dtype=jnp.float32) -> Params:
+    ks = jax.random.split(key, 5)
+    return {
+        "weight": conv_init(ks[0], 3, 3, 2 * channel, channel, bias=False, dtype=dtype)["weight"],
+        "bias": jnp.zeros((channel,), dtype),
+        "conv_offset": {
+            "0": conv_init(ks[1], 3, 3, 3 * channel + 4, channel, dtype=dtype),
+            "2": conv_init(ks[2], 3, 3, channel, channel, dtype=dtype),
+            "4": conv_init(ks[3], 3, 3, channel, channel, dtype=dtype),
+            "6": {
+                # zero-init per init_offset (feat_prop.py:33)
+                "weight": jnp.zeros((3, 3, channel, 27 * deform_groups), dtype),
+                "bias": jnp.zeros((27 * deform_groups,), dtype),
+            },
+        },
+    }
+
+
+def second_order_deform_align(
+    p: Params,
+    x: jax.Array,          # (B, H, W, 2*C) — [feat_prop, feat_n2]
+    extra: jax.Array,      # (B, H, W, 3*C) — [cond_n1, feat_current, cond_n2]
+    flow1: jax.Array,      # (B, H, W, 2)
+    flow2: jax.Array,
+    deform_groups: int = 16,
+    max_residue: float = 10.0,
+) -> jax.Array:
+    """feat_prop.py:36-59."""
+    feat = jnp.concatenate([extra, flow1, flow2], axis=-1)
+    co = p["conv_offset"]
+    y = leaky_relu(conv2d(feat, co["0"], padding=1), 0.1)
+    y = leaky_relu(conv2d(y, co["2"], padding=1), 0.1)
+    y = leaky_relu(conv2d(y, co["4"], padding=1), 0.1)
+    out = conv2d(y, co["6"], padding=1)            # (B, H, W, 27*G)
+
+    g = deform_groups
+    o1, o2, mask = jnp.split(out, 3, axis=-1)      # each (B, H, W, 9*G)
+    offset = max_residue * jnp.tanh(jnp.concatenate([o1, o2], -1))
+    off1, off2 = jnp.split(offset, 2, axis=-1)
+    # add flow (flipped to (y, x)) to every tap of every group
+    flow1_yx = jnp.tile(flow1[..., ::-1], (1, 1, 1, off1.shape[-1] // 2))
+    flow2_yx = jnp.tile(flow2[..., ::-1], (1, 1, 1, off2.shape[-1] // 2))
+    off1 = off1 + flow1_yx
+    off2 = off2 + flow2_yx
+    mask = jax.nn.sigmoid(mask)
+
+    # first-order offsets act on x[:C], second-order on x[C:] — concat along
+    # the group axis (mmcv applies one deform conv over the 2C input with 2G
+    # effective groups worth of offsets o1|o2)
+    offset_all = jnp.concatenate([off1, off2], axis=-1)
+    return modulated_deform_conv(
+        x, offset_all, mask, p["weight"], p["bias"], deform_groups
+    )
+
+
+# ------------------------------------------------------------ unfold / fold
+
+def unfold(x: jax.Array, kernel: Tuple[int, int], stride: Tuple[int, int],
+           padding: Tuple[int, int]) -> jax.Array:
+    """torch.nn.Unfold equivalent: (B, H, W, C) -> (B, L, kh*kw*C) with
+    torch's (C, kh, kw) patch-channel ordering."""
+    b, h, w, c = x.shape
+    patches = jax.lax.conv_general_dilated_patches(
+        x, kernel, stride,
+        ((padding[0], padding[0]), (padding[1], padding[1])),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )  # (B, fh, fw, C*kh*kw) with channel-major ordering
+    fh, fw = patches.shape[1], patches.shape[2]
+    return patches.reshape(b, fh * fw, c * kernel[0] * kernel[1])
+
+
+def fold(
+    x: jax.Array,            # (B, L, C*kh*kw) torch ordering
+    output_size: Tuple[int, int],
+    kernel: Tuple[int, int],
+    stride: Tuple[int, int],
+    padding: Tuple[int, int],
+) -> jax.Array:
+    """torch.nn.Fold equivalent: overlap-add of patches -> (B, H, W, C)."""
+    b, l, ckk = x.shape
+    kh, kw = kernel
+    c = ckk // (kh * kw)
+    oh, ow = output_size
+    fh = (oh + 2 * padding[0] - kh) // stride[0] + 1
+    fw = (ow + 2 * padding[1] - kw) // stride[1] + 1
+    patches = x.reshape(b, fh, fw, c, kh, kw)
+    out = jnp.zeros((b, oh + 2 * padding[0], ow + 2 * padding[1], c), x.dtype)
+    for i in range(kh):
+        for j in range(kw):
+            vals = patches[:, :, :, :, i, j]      # (B, fh, fw, C)
+            ys = i
+            xs = j
+            out = out.at[
+                :, ys: ys + stride[0] * fh: stride[0],
+                xs: xs + stride[1] * fw: stride[1], :,
+            ].add(vals)
+    return out[:, padding[0]: padding[0] + oh, padding[1]: padding[1] + ow]
+
+
+# ----------------------------------------------------- soft split / compose
+
+def soft_split_init(key, channel, hidden, kernel, dtype=jnp.float32) -> Params:
+    cin = kernel[0] * kernel[1] * channel
+    return {"embedding": linear_init(key, cin, hidden, dtype=dtype)}
+
+
+def soft_split(p: Params, x: jax.Array, kernel, stride, padding) -> jax.Array:
+    """(B*T, H, W, C) -> (B*T, fh*fw, hidden) token embedding (SoftSplit :19)."""
+    feat = unfold(x, kernel, stride, padding)
+    return linear(feat, p["embedding"])
+
+
+def soft_comp_init(key, channel, hidden, kernel, dtype=jnp.float32) -> Params:
+    k1, k2 = jax.random.split(key)
+    cout = kernel[0] * kernel[1] * channel
+    return {
+        "embedding": linear_init(k1, hidden, cout, dtype=dtype),
+        "bias_conv": conv_init(k2, 3, 3, channel, channel, dtype=dtype),
+    }
+
+
+def soft_comp(p: Params, x: jax.Array, output_size, kernel, stride, padding) -> jax.Array:
+    """(B*T, L, hidden) -> (B*T, H, W, C) token fold (SoftComp :49)."""
+    feat = linear(x, p["embedding"])
+    out = fold(feat, output_size, kernel, stride, padding)
+    return conv2d(out, p["bias_conv"], padding=1)
+
+
+def fusion_feed_forward_init(key, d_model, dtype=jnp.float32) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {
+        "conv1": {"0": linear_init(k1, d_model, 1960, dtype=dtype)},
+        "conv2": {"1": linear_init(k2, 1960, d_model, dtype=dtype)},
+    }
+
+
+def fusion_feed_forward(
+    p: Params, x: jax.Array, output_size, kernel, stride, padding
+) -> jax.Array:
+    """F3N (tfocal_transformer_hq.py:82-118): token MLP whose hidden state is
+    fold/unfold-normalized to blend overlapping patches."""
+    b, n, _ = x.shape
+    x = linear(x, p["conv1"]["0"])
+    c = x.shape[-1]
+    fh = (output_size[0] + 2 * padding[0] - kernel[0]) // stride[0] + 1
+    fw = (output_size[1] + 2 * padding[1] - kernel[1]) // stride[1] + 1
+    n_vecs = fh * fw
+    bt = (b * n) // n_vecs
+
+    ones = jnp.ones((bt, n_vecs, 49), x.dtype)
+    normalizer = fold(ones, output_size, kernel, stride, padding)
+    folded = fold(x.reshape(bt, n_vecs, c), output_size, kernel, stride, padding)
+    # fold produced (bt, H, W, ck) where ck = c // 49
+    renorm = folded / jnp.maximum(normalizer, 1e-9)
+    x = unfold(renorm, kernel, stride, padding).reshape(b, n, c)
+    return linear(gelu(x), p["conv2"]["1"])

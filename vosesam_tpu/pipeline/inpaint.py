@@ -1,0 +1,190 @@
+"""Video inpainting driver (BaseInpainter equivalent).
+
+Reference: inpainter/base_inpainter.py —
+  - `inpaint` (:176-247): split the video into `num_subset_frames`=50 chunks
+    with `num_external_ref`=2 temporal-context frames at stride `step`=10
+    prepended/appended; remainder folded into the first split;
+  - `inpaint_efficient` (:53-174): dilate masks (radius 15), optional
+    downscale, per-window loop with stride `neighbor_stride`=5 plus strided
+    reference frames (`get_ref_index` :37-51), pad H to mod-60 / W to mod-108
+    by flip-reflection, composite predictions into the masked region and
+    50/50-average overlapping windows.
+
+The generator runs jitted per (window length, H, W) signature; the windowing
+logic stays on host (pure orchestration)."""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vosesam_tpu.config import InpainterConfig
+from vosesam_tpu.models.e2fgvi import generator as G
+from vosesam_tpu.ops import morphology as morph
+
+
+def get_ref_index(f: int, neighbor_ids: List[int], length: int,
+                  num_ref: int, ref_length: int) -> List[int]:
+    """Strided reference-frame selection (base_inpainter.py:37-51)."""
+    ref_index = []
+    if num_ref == -1:
+        for i in range(0, length, ref_length):
+            if i not in neighbor_ids:
+                ref_index.append(i)
+    else:
+        start = max(0, f - ref_length * (num_ref // 2))
+        end = min(length, f + ref_length * (num_ref // 2))
+        for i in range(start, end + 1, ref_length):
+            if i not in neighbor_ids:
+                ref_index.append(i)
+                if len(ref_index) >= num_ref:
+                    break
+    return ref_index
+
+
+def _flip_pad(x: np.ndarray, mod_h: int = 60, mod_w: int = 108) -> np.ndarray:
+    """Pad H/W to the generator's module sizes by flip reflection
+    (base_inpainter.py:149-158)."""
+    t, h, w = x.shape[:3]
+    ph = -h % mod_h
+    pw = -w % mod_w
+    if ph:
+        x = np.concatenate([x, x[:, h - ph:][:, ::-1]], axis=1)
+    if pw:
+        x = np.concatenate([x, x[:, :, x.shape[2] - pw:][:, :, ::-1]], axis=2)
+    return x
+
+
+class Inpainter:
+    """Host session holding generator params + the windowing policy."""
+
+    def __init__(
+        self,
+        checkpoint: Optional[str] = None,
+        cfg: InpainterConfig = InpainterConfig(),
+        params=None,
+    ) -> None:
+        self.cfg = cfg
+        if params is not None:
+            self.params = params
+        elif checkpoint and os.path.exists(checkpoint):
+            from vosesam_tpu.utils.checkpoint import load_e2fgvi_checkpoint
+
+            self.params = load_e2fgvi_checkpoint(checkpoint)
+        else:
+            self.params = G.generator_init(jax.random.PRNGKey(0), cfg)
+
+    # ------------------------------------------------------------- core
+
+    def _run_window(self, frames_np: np.ndarray, num_local: int) -> np.ndarray:
+        """frames_np: (T, H, W, 3) float in [-1, 1] (already padded)."""
+        fn = partial(G.generator_forward, cfg=self.cfg, num_local=num_local)
+        out, _ = jax.jit(fn)(self.params, jnp.asarray(frames_np))
+        return np.asarray(out)
+
+    def inpaint_efficient(
+        self, frames: Sequence[np.ndarray], masks: Sequence[np.ndarray],
+        ratio: float = 1.0, dilate_radius: Optional[int] = None,
+    ) -> List[np.ndarray]:
+        """base_inpainter.py:53-174 for one subset."""
+        cfg = self.cfg
+        radius = cfg.dilate_radius if dilate_radius is None else dilate_radius
+        t = len(frames)
+        h, w = frames[0].shape[:2]
+
+        masks_np = np.stack([np.asarray(m, np.float32) > 0 for m in masks])
+        if radius > 0:
+            masks_np = np.asarray(
+                jax.jit(jax.vmap(lambda m: morph.dilate(m, 1)))(
+                    jnp.asarray(masks_np)
+                )
+            )
+            # the reference uses a (2r+1) kernel once; iterate cheaply
+            for _ in range(radius - 1):
+                masks_np = np.asarray(
+                    jax.jit(jax.vmap(lambda m: morph.dilate(m, 1)))(
+                        jnp.asarray(masks_np)
+                    )
+                )
+        masks_np = masks_np.astype(np.float32)
+
+        if ratio != 1.0:
+            nh = max(50, int(h * ratio)) // 2 * 2
+            nw = max(50, int(w * ratio)) // 2 * 2
+            frames = [
+                np.asarray(jax.image.resize(jnp.asarray(f, jnp.float32), (nh, nw, 3), "linear"))
+                for f in frames
+            ]
+            masks_np = np.asarray(
+                jax.image.resize(jnp.asarray(masks_np), (t, nh, nw), "nearest")
+            )
+            h, w = nh, nw
+
+        video = np.stack([np.asarray(f, np.float32) / 127.5 - 1.0 for f in frames])
+        masked = video * (1.0 - masks_np[..., None])
+
+        padded = _flip_pad(masked)
+        comp_frames: List[Optional[np.ndarray]] = [None] * t
+
+        for f in range(0, t, cfg.neighbor_stride):
+            neighbor_ids = list(
+                range(max(0, f - cfg.neighbor_stride),
+                      min(t, f + cfg.neighbor_stride + 1))
+            )
+            ref_ids = get_ref_index(f, neighbor_ids, t, cfg.num_ref, cfg.step)
+            ids = neighbor_ids + ref_ids
+            window = padded[ids]
+            pred = self._run_window(window, len(neighbor_ids))
+            pred = (pred[:, :h, :w] + 1.0) / 2.0 * 255.0
+
+            for i, idx in enumerate(neighbor_ids):
+                m = masks_np[idx][..., None]
+                img = np.asarray(frames[idx], np.float32)
+                comp = pred[i] * m + img * (1.0 - m)
+                if comp_frames[idx] is None:
+                    comp_frames[idx] = comp
+                else:
+                    comp_frames[idx] = 0.5 * comp_frames[idx] + 0.5 * comp
+        return [np.clip(c, 0, 255).astype(np.uint8) for c in comp_frames]
+
+    def inpaint(
+        self, frames: Sequence[np.ndarray], masks: Sequence[np.ndarray],
+        ratio: float = 1.0,
+    ) -> List[np.ndarray]:
+        """base_inpainter.py:176-247: subset splitting with temporal context."""
+        cfg = self.cfg
+        t = len(frames)
+        n = cfg.num_subset_frames
+        if t <= n:
+            return self.inpaint_efficient(frames, masks, ratio)
+
+        out: List[np.ndarray] = []
+        # remainder folds into the FIRST split ("if OOM, let it happen at
+        # the beginning", base_inpainter.py:200-208)
+        first_len = n + (t % n)
+        splits = [(0, first_len)]
+        s = first_len
+        while s < t:
+            splits.append((s, min(s + n, t)))
+            s += n
+
+        for si, (a, b) in enumerate(splits):
+            pre_ids = [
+                max(0, a - cfg.step * (i + 1))
+                for i in range(cfg.num_external_ref)
+            ][::-1] if a > 0 else []
+            post_ids = [
+                min(t - 1, b - 1 + cfg.step * (i + 1))
+                for i in range(cfg.num_external_ref)
+            ] if b < t else []
+            ids = pre_ids + list(range(a, b)) + post_ids
+            sub_frames = [frames[i] for i in ids]
+            sub_masks = [masks[i] for i in ids]
+            comp = self.inpaint_efficient(sub_frames, sub_masks, ratio)
+            out.extend(comp[len(pre_ids): len(pre_ids) + (b - a)])
+        return out

@@ -179,6 +179,20 @@ def load_sam_checkpoint(path: str, cfg) -> "SamParams":
     )
 
 
+# ------------------------------------------------------------------ E2FGVI
+
+def load_e2fgvi_checkpoint(path: str) -> Dict[str, Any]:
+    """Load the E2FGVI-HQ generator state dict (inpainter/base_inpainter.py:23
+    loads it directly into InpaintGenerator). No ConvTranspose layers — the
+    'deconv' blocks are bilinear-resize + conv."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if "netG" in sd:
+        sd = sd["netG"]
+    return state_dict_to_tree(sd)
+
+
 def _orthogonal_like(rng, shape):
     flat = rng.normal(size=(shape[0], int(np.prod(shape[1:]))))
     q, _ = np.linalg.qr(flat.T)
