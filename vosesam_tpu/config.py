@@ -51,6 +51,7 @@ class MemoryConfig:
     max_long_term_elements: int = 1000  # config.yaml:6
     num_prototypes: int = 128          # config.yaml:7
     top_k: int = 30                    # config.yaml:8
+    top_k_approx: bool = True          # lax.approx_max_k threshold (TPU-fast)
     mem_every: int = 5                 # config.yaml:9
     deep_update_every: int = -1        # config.yaml:10 (-1: sync with mem frames)
     enable_long_term: bool = True      # config.yaml:14
@@ -111,6 +112,7 @@ class SAMConfig:
         ("vit_h", 1280, 32, 16, (7, 15, 23, 31)),
     )
     window_size: int = 14
+    use_flash_attention: bool = True   # Pallas flash kernel for global blocks
     mask_threshold: float = 0.0
     max_points: int = 16               # static per-object prompt-point budget
     multimask_output: bool = False

@@ -59,7 +59,8 @@ def match_memory(
 
     # Objects with no values anywhere would soft-max over nothing; mask later.
     readout_flat, usage = read_memory_multiobject(
-        mk, ms, mv, q, e, kv, vv, cfg.top_k, return_usage=True
+        mk, ms, mv, q, e, kv, vv, cfg.top_k,
+        return_usage=True, approx=cfg.top_k_approx,
     )
     o = mv.shape[0]
     cv = mv.shape[-1]

@@ -92,15 +92,17 @@ def _get_rel_pos(q_size: int, k_size: int, rel_pos: jax.Array) -> jax.Array:
     return rel_pos[rel.astype(jnp.int32)]
 
 
-def _decomposed_rel_pos_bias(
+def _factorized_rel_pos_bias(
     q: jax.Array,  # (B, qh*qw, heads, hd)
     rel_pos_h: jax.Array,
     rel_pos_w: jax.Array,
     q_hw: Tuple[int, int],
     k_hw: Tuple[int, int],
-) -> jax.Array:
-    """Decomposed additive rel-pos attention bias (official
-    add_decomposed_rel_pos), returned as (B, heads, qh*qw, kh*kw)."""
+) -> Tuple[jax.Array, jax.Array]:
+    """Decomposed rel-pos bias in FACTORIZED form: (bias_h (B, heads, N, kh),
+    bias_w (B, heads, N, kw)) with bias[q, k] = bias_h[q, row(k)] +
+    bias_w[q, col(k)]. The full (N, N) bias is never materialized here —
+    the flash kernel reconstructs tiles, and the XLA fallback broadcasts."""
     qh, qw = q_hw
     kh, kw = k_hw
     rh = _get_rel_pos(qh, kh, rel_pos_h)   # (qh, kh, hd)
@@ -109,21 +111,44 @@ def _decomposed_rel_pos_bias(
     rq = q.reshape(b, qh, qw, heads, hd).astype(jnp.float32)
     bias_h = jnp.einsum("bhwnc,hkc->bnhwk", rq, rh.astype(jnp.float32))
     bias_w = jnp.einsum("bhwnc,wkc->bnhwk", rq, rw.astype(jnp.float32))
-    bias = bias_h[..., :, None] + bias_w[..., None, :]   # (b, n, qh, qw, kh, kw)
-    return bias.reshape(b, heads, qh * qw, kh * kw)
+    return (
+        bias_h.reshape(b, heads, qh * qw, kh),
+        bias_w.reshape(b, heads, qh * qw, kw),
+    )
 
 
-def _attention(x: jax.Array, p: Params, heads: int, hw: Tuple[int, int]) -> jax.Array:
+def _attention(
+    x: jax.Array, p: Params, heads: int, hw: Tuple[int, int],
+    use_flash: bool = False,
+) -> jax.Array:
     """x: (B, H, W, C) windowed or global tokens."""
     b, h, w, c = x.shape
     hd = c // heads
     qkv = linear(x.reshape(b, h * w, c), p["qkv"]).reshape(b, h * w, 3, heads, hd)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    bias_h, bias_w = _factorized_rel_pos_bias(
+        q, p["rel_pos_h"], p["rel_pos_w"], hw, hw
+    )
+
+    if use_flash and b == 1 and (h * w) % 256 == 0:
+        from vosesam_tpu.ops.pallas.flash_attention import flash_attention_relpos
+
+        out = flash_attention_relpos(
+            q[0].transpose(1, 0, 2), k[0].transpose(1, 0, 2),
+            v[0].transpose(1, 0, 2),
+            bias_h[0], bias_w[0], hw,
+            interpret=jax.default_backend() != "tpu",
+        )                                           # (heads, N, hd)
+        out = out.transpose(1, 0, 2).reshape(1, h * w, c)
+        return linear(out, p["proj"]).reshape(b, h, w, c)
+
     scale = 1.0 / math.sqrt(hd)
     attn = jnp.einsum(
         "bqnc,bknc->bnqk", q, k, preferred_element_type=jnp.float32
     ) * scale
-    attn = attn + _decomposed_rel_pos_bias(q, p["rel_pos_h"], p["rel_pos_w"], hw, hw)
+    attn = attn + (
+        bias_h[..., :, None] + bias_w[..., None, :]
+    ).reshape(b, heads, h * w, hw[0] * hw[1])
     attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
     out = jnp.einsum("bnqk,bknc->bqnc", attn, v).reshape(b, h * w, c)
     return linear(out, p["proj"]).reshape(b, h, w, c)
@@ -148,7 +173,8 @@ def _window_unpartition(x: jax.Array, wsz: int, pad_hw, hw):
     return x[:, :h, :w]
 
 
-def _block(x: jax.Array, p: Params, heads: int, window: int) -> jax.Array:
+def _block(x: jax.Array, p: Params, heads: int, window: int,
+           use_flash: bool = False) -> jax.Array:
     shortcut = x
     y = layer_norm(x, p["norm1"])
     if window > 0:
@@ -156,7 +182,8 @@ def _block(x: jax.Array, p: Params, heads: int, window: int) -> jax.Array:
         y = _attention(y, p["attn"], heads, (window, window))
         y = _window_unpartition(y, window, pad_hw, (x.shape[1], x.shape[2]))
     else:
-        y = _attention(y, p["attn"], heads, (x.shape[1], x.shape[2]))
+        y = _attention(y, p["attn"], heads, (x.shape[1], x.shape[2]),
+                       use_flash=use_flash)
     x = shortcut + y
     y = layer_norm(x, p["norm2"])
     y = linear(gelu(linear(y, p["mlp"]["lin1"])), p["mlp"]["lin2"])
@@ -186,7 +213,8 @@ def vit_encode(
     interm = []
     for i in range(depth):
         window = 0 if i in global_idx else cfg.window_size
-        y = _block(y, params["blocks"][str(i)], heads, window)
+        y = _block(y, params["blocks"][str(i)], heads, window,
+                   use_flash=cfg.use_flash_attention)
         if return_interm and i in global_idx:
             interm.append(y[0])
 

@@ -62,10 +62,15 @@ def topk_softmax(
     valid: Optional[jax.Array],  # (M,) or (Q, M) bool
     top_k: int,
     return_usage: bool = False,
+    approx: bool = False,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Top-k sparse softmax over the memory axis (memory_util.py:41-65).
 
     Threshold formulation: affinity is nonzero only where sim >= kth-largest.
+    With `approx`, the threshold comes from `lax.approx_max_k` — the
+    TPU-native bucketed top-k (MIPS-style), far cheaper than the exact sort
+    at these sizes; a slightly-low threshold only ADMITS a few extra
+    keys into the softmax (graceful, monotone degradation).
     Returns (affinity (Q, M) fp32, usage (M,) or None).
     """
     v = None
@@ -74,7 +79,10 @@ def topk_softmax(
         sim = jnp.where(v, sim, NEG_INF)
     m = sim.shape[-1]
     k = min(top_k, m)
-    topv = jax.lax.top_k(sim, k)[0]            # (Q, k) descending
+    if approx and k < m:
+        topv = jax.lax.approx_max_k(sim, k, recall_target=0.95)[0]
+    else:
+        topv = jax.lax.top_k(sim, k)[0]        # (Q, k) descending
     kth = topv[:, -1:]                          # (Q, 1)
     maxv = topv[:, :1]
     mask = sim >= kth
@@ -107,6 +115,7 @@ def read_memory_multiobject(
     value_valid: jax.Array,  # (O, M) bool — object has a value in that slot
     top_k: int,
     return_usage: bool = False,
+    approx: bool = False,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Per-object top-k read with shared similarity.
 
@@ -119,7 +128,8 @@ def read_memory_multiobject(
 
     def per_object(vvalid, values):
         aff, use = topk_softmax(
-            sim, key_valid & vvalid, top_k, return_usage=return_usage
+            sim, key_valid & vvalid, top_k,
+            return_usage=return_usage, approx=approx,
         )
         return readout(aff, values), use
 

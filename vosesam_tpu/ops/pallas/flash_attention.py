@@ -1,0 +1,129 @@
+"""Fused flash attention with decomposed relative-position bias (Pallas TPU).
+
+Why: SAM's ViT global-attention blocks attend over N = (H/16)² = 4096 tokens.
+The XLA path materializes the additive decomposed rel-pos bias and the
+attention matrix at (heads, N, N) fp32 — ~1 GB of HBM traffic per block,
+which dominates the encoder's runtime (SURVEY.md §3.2: the ViT encode is the
+pipeline's hottest op). This kernel keeps the bias FACTORIZED:
+
+    bias[q, k] = bh[q, row(k)] + bw[q, col(k)]
+
+where bh = einsum(q, rel_pos_h) is only (heads, N, gh) and bw is
+(heads, N, gw) — 16 MB instead of 1 GB. Tiles of the bias are reconstructed
+in VMEM from these factors inside the online-softmax loop, so nothing
+quadratic ever touches HBM.
+
+K/V tiles are aligned to token-grid rows (Tk = rows_per_tile * gw), making
+row/col index reconstruction static slicing instead of gathers.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _flash_kernel(
+    q_ref,      # (Tq, D)
+    k_ref,      # (N, D)
+    v_ref,      # (N, D)
+    bh_ref,     # (Tq, gh) bias rows for this q tile
+    bw_ref,     # (Tq, gw)
+    o_ref,      # (Tq, D)
+    *,
+    tk: int,
+    gw: int,
+    scale: float,
+):
+    _, tq, d = q_ref.shape
+    n = k_ref.shape[1]
+    rows_per_tile = tk // gw
+    num_tiles = n // tk
+
+    q = q_ref[0].astype(jnp.float32) * scale
+
+    def body(j, carry):
+        m_prev, l_prev, acc = carry
+        k_tile = k_ref[0, pl.ds(j * tk, tk), :].astype(jnp.float32)
+        v_tile = v_ref[0, pl.ds(j * tk, tk), :].astype(jnp.float32)
+        s = jnp.dot(q, k_tile.T, preferred_element_type=jnp.float32)  # (Tq, Tk)
+
+        # reconstruct the bias tile from factorized terms: k tokens in this
+        # tile span rows [j*rpt, (j+1)*rpt) of the grid, all gw columns.
+        bh_tile = bh_ref[0, :, pl.ds(j * rows_per_tile, rows_per_tile)]  # (Tq, rpt)
+        bw_tile = bw_ref[0]                                              # (Tq, gw)
+        bias = (
+            bh_tile[:, :, None] + bw_tile[:, None, :]
+        ).reshape(tq, tk)
+        s = s + bias
+
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jnp.dot(p, v_tile, preferred_element_type=jnp.float32)
+        return m_new, l_new, acc
+
+    m0 = jnp.full((tq, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((tq, 1), jnp.float32)
+    acc0 = jnp.zeros((tq, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, num_tiles, body, (m0, l0, acc0))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def flash_attention_relpos(
+    q: jax.Array,        # (heads, N, D)
+    k: jax.Array,        # (heads, N, D)
+    v: jax.Array,        # (heads, N, D)
+    bias_h: jax.Array,   # (heads, N, gh) factorized row bias
+    bias_w: jax.Array,   # (heads, N, gw) factorized col bias
+    grid_hw: Tuple[int, int],
+    q_tile: int = 256,
+    kv_rows_per_tile: int = 2,
+    interpret: bool = False,
+) -> jax.Array:
+    """Softmax(q·kᵀ/√d + bias) · v with the bias kept factorized.
+
+    N must equal gh*gw (row-major token grid); D is padded to a multiple of
+    128 internally."""
+    heads, n, d = q.shape
+    gh, gw = grid_hw
+    assert n == gh * gw, (n, gh, gw)
+    tk = kv_rows_per_tile * gw
+    assert n % tk == 0
+    scale = 1.0 / math.sqrt(d)
+
+    dp = -(-d // 128) * 128
+    if dp != d:
+        pad = [(0, 0), (0, 0), (0, dp - d)]
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+
+    num_q = -(-n // q_tile)
+    assert n % q_tile == 0
+
+    kernel = functools.partial(_flash_kernel, tk=tk, gw=gw, scale=scale)
+    out = pl.pallas_call(
+        kernel,
+        grid=(heads, num_q),
+        in_specs=[
+            pl.BlockSpec((1, q_tile, dp), lambda h, i: (h, i, 0)),
+            pl.BlockSpec((1, n, dp), lambda h, i: (h, 0, 0)),
+            pl.BlockSpec((1, n, dp), lambda h, i: (h, 0, 0)),
+            pl.BlockSpec((1, q_tile, gh), lambda h, i: (h, i, 0)),
+            pl.BlockSpec((1, q_tile, gw), lambda h, i: (h, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, q_tile, dp), lambda h, i: (h, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((heads, n, dp), q.dtype),
+        interpret=interpret,
+    )(q, k, v, bias_h, bias_w)
+    return out[:, :, :d]
