@@ -1,0 +1,155 @@
+"""App session, HTTP server (live end-to-end), automatic masks, RLE."""
+
+import base64
+import io
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from tests.test_pipeline import tiny_cfg, synthetic_video, template, H, W
+from vosesam_tpu.eval.rle import decode_rle, encode_rle
+from vosesam_tpu.pipeline.track_anything import TrackingAnything
+
+
+@pytest.fixture(scope="module")
+def model():
+    return TrackingAnything(cfg=tiny_cfg(True))
+
+
+def b64_img(arr):
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def b64_mask(arr):
+    from vosesam_tpu.eval.palette import pascal_colormap
+    img = Image.fromarray(arr.astype(np.uint8), mode="P")
+    img.putpalette(pascal_colormap().reshape(-1).tolist())
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+class TestAppSession:
+    def test_click_track_flow(self, model, tmp_path):
+        import app as app_mod
+
+        session = app_mod.AppSession(model)
+        session.frames = synthetic_video(3)
+        session.select_template(0)
+        painted = session.click(20, 15, True)
+        assert painted.shape == (H, W, 3)
+        assert session.current_mask is not None
+        assert session.add_mask() == 1
+        tm = session.template_mask()
+        assert tm.max() == 1
+        masks, painted_frames, scores = session.track()
+        assert len(masks) == 3
+        assert session.remove_mask() == 0
+
+    def test_build_ui_raises_without_gradio(self, model):
+        import app as app_mod
+
+        session = app_mod.AppSession(model)
+        with pytest.raises(ImportError, match="gradio"):
+            app_mod.build_ui(session)
+
+
+class TestServer:
+    def test_live_server_roundtrip(self, model):
+        from vosesam_tpu.serve.server import serve
+
+        httpd = serve(model, port=0)   # ephemeral port
+        port = httpd.server_address[1]
+        base = f"http://127.0.0.1:{port}"
+        try:
+            with urllib.request.urlopen(f"{base}/health") as r:
+                health = json.loads(r.read())
+            assert health["status"] == "ok"
+
+            frames = synthetic_video(2)
+            req = json.dumps({
+                "image": b64_img(frames[0]),
+                "points": [[20.0, 15.0]],
+                "labels": [1],
+            }).encode()
+            r = urllib.request.urlopen(
+                urllib.request.Request(
+                    f"{base}/segment", data=req,
+                    headers={"Content-Type": "application/json"},
+                )
+            )
+            out = json.loads(r.read())
+            assert out["shape"] == [H, W]
+
+            req = json.dumps({
+                "frames": [b64_img(f) for f in frames],
+                "template_mask": b64_mask(template()),
+            }).encode()
+            r = urllib.request.urlopen(
+                urllib.request.Request(
+                    f"{base}/track", data=req,
+                    headers={"Content-Type": "application/json"},
+                )
+            )
+            out = json.loads(r.read())
+            assert len(out["masks"]) == 2
+            m0 = np.array(Image.open(io.BytesIO(base64.b64decode(out["masks"][0]))))
+            assert set(np.unique(m0)) <= {0, 3}
+        finally:
+            httpd.shutdown()
+
+    def test_unknown_route_404(self, model):
+        from vosesam_tpu.serve.server import serve
+
+        httpd = serve(model, port=0)
+        port = httpd.server_address[1]
+        try:
+            with pytest.raises(urllib.error.HTTPError) as e:
+                urllib.request.urlopen(f"http://127.0.0.1:{port}/nope")
+            assert e.value.code == 404
+        finally:
+            httpd.shutdown()
+
+
+class TestAutomatic:
+    def test_generate_masks(self, model):
+        from vosesam_tpu.models.sam.automatic import generate_masks
+
+        img = synthetic_video(1)[0]
+        out = generate_masks(
+            model.sam_params, img, model.cfg.sam,
+            points_per_side=4, pred_iou_thresh=-10.0, stability_thresh=0.0,
+            batch=4,
+        )
+        assert out.masks.ndim == 3
+        # NMS keeps at least one mask with thresholds wide open
+        assert len(out.masks) >= 1
+        assert len(out.masks) == len(out.scores) == len(out.points)
+
+
+class TestRLE:
+    def test_roundtrip(self, rng):
+        m = (rng.random((13, 17)) > 0.6).astype(np.uint8)
+        back = decode_rle(encode_rle(m))
+        np.testing.assert_array_equal(back, m)
+
+    def test_empty_and_full(self):
+        z = np.zeros((5, 4), np.uint8)
+        np.testing.assert_array_equal(decode_rle(encode_rle(z)), z)
+        o = np.ones((5, 4), np.uint8)
+        np.testing.assert_array_equal(decode_rle(encode_rle(o)), o)
+
+    def test_compressed_counts(self):
+        # cocoapi encoding of small masks: verify the varint decoder on a
+        # hand-built case — a run of [0-run=3, 1-run=2, 0-run=15] over 4x5
+        m = np.zeros((4, 5), np.uint8)
+        flat = m.T.reshape(-1)
+        flat[3:5] = 1
+        m = flat.reshape(5, 4).T
+        rle = encode_rle(m)
+        assert rle["counts"][0] == 3 and rle["counts"][1] == 2
