@@ -59,14 +59,18 @@ def refine_masks(
         mask_prompts = None
 
     def predict_one(coords, labels, mask_prompt):
-        pred = predictor.predict(
+        # select the best token BEFORE full-res upsampling: one (256,256) ->
+        # (H, W) resize per object instead of one per mask token
+        low_res, iou = predictor.predict_low_res(
             sam_params, emb, coords, labels,
             mask_prompt if pack.use_mask else None, scfg,
         )
-        mask, logits, score, low_res = predictor.select_best(
-            pred, scfg, multimask=scfg.multimask_output
-        )
-        return mask, score
+        tok = predictor.select_token(iou, scfg, scfg.multimask_output)
+        best = jnp.take(low_res, tok, axis=0)
+        logits_full = predictor.postprocess_masks(
+            best[None], emb.input_hw, emb.orig_hw, scfg
+        )[0]
+        return logits_full > scfg.mask_threshold, jnp.take(iou, tok)
 
     if pack.use_mask:
         sam_masks, sam_scores = jax.vmap(predict_one)(

@@ -145,6 +145,41 @@ def postprocess_masks(
     return resize_bilinear(up, orig_hw, axes=(-2, -1))
 
 
+def predict_low_res(
+    params: SamParams,
+    emb: ImageEmbedding,
+    coords: jax.Array,
+    labels: jax.Array,
+    mask_input: Optional[jax.Array],
+    cfg: SAMConfig,
+) -> Tuple[jax.Array, jax.Array]:
+    """Decode WITHOUT full-resolution postprocessing: returns
+    (low_res (n, S/4, S/4) logits, iou (n,)). Lets callers select the best
+    token first and upsample only that one — the refinement loop's hot path
+    (one decode per object per frame)."""
+    grid = emb.embedding.shape[:2]
+    pts = transform_coords(coords, emb.orig_hw, cfg)
+    sparse = prompt_encoder.encode_points(params.prompt_encoder, pts, labels, cfg)
+    if mask_input is not None:
+        dense = prompt_encoder.encode_mask(params.prompt_encoder, mask_input)
+    else:
+        dense = prompt_encoder.no_mask_dense(params.prompt_encoder, grid)
+    pe = prompt_encoder.dense_pe(params.prompt_encoder, grid)
+    return mask_decoder.decode_masks(
+        params.mask_decoder, emb.embedding, pe, sparse, dense, cfg,
+        interm_vit=emb.interm,
+    )
+
+
+def select_token(iou: jax.Array, cfg: SAMConfig, multimask: bool) -> jax.Array:
+    """Best-token index per the reference predictor's selection."""
+    if cfg.hq:
+        return jnp.int32(mask_decoder.NUM_MASK_TOKENS)
+    if multimask:
+        return (jnp.argmax(iou[1:4]) + 1).astype(jnp.int32)
+    return jnp.int32(0)
+
+
 def select_best(pred: SamPrediction, cfg: SAMConfig, multimask: bool):
     """Reference-predictor mask selection: token 0 when single-mask, the
     best-IoU of tokens 1..3 when multimask; SAM-HQ uses the HQ token.

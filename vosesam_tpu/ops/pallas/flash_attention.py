@@ -50,19 +50,35 @@ def _flash_kernel(
 
     q = q_ref[0].astype(jnp.float32) * scale
 
+    gh = bh_ref.shape[-1]
+
     def body(j, carry):
         m_prev, l_prev, acc = carry
-        k_tile = k_ref[0, pl.ds(j * tk, tk), :].astype(jnp.float32)
-        v_tile = v_ref[0, pl.ds(j * tk, tk), :].astype(jnp.float32)
+        start = pl.multiple_of(j * tk, tk)
+        k_tile = k_ref[0, pl.ds(start, tk), :].astype(jnp.float32)
+        v_tile = v_ref[0, pl.ds(start, tk), :].astype(jnp.float32)
         s = jnp.dot(q, k_tile.T, preferred_element_type=jnp.float32)  # (Tq, Tk)
 
         # reconstruct the bias tile from factorized terms: k tokens in this
         # tile span rows [j*rpt, (j+1)*rpt) of the grid, all gw columns.
-        bh_tile = bh_ref[0, :, pl.ds(j * rows_per_tile, rows_per_tile)]  # (Tq, rpt)
-        bw_tile = bw_ref[0]                                              # (Tq, gw)
-        bias = (
-            bh_tile[:, :, None] + bw_tile[:, None, :]
-        ).reshape(tq, tk)
+        # Row selection via a one-hot matmul — Mosaic can't dynamically
+        # slice the lane dimension at sub-128 granularity.
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (gh, rows_per_tile), 0)
+        want = j * rows_per_tile + jax.lax.broadcasted_iota(
+            jnp.int32, (gh, rows_per_tile), 1
+        )
+        onehot = (row_ids == want).astype(jnp.float32)        # (gh, rpt)
+        bh_tile = jnp.dot(
+            bh_ref[0].astype(jnp.float32), onehot,
+            preferred_element_type=jnp.float32,
+        )                                                      # (Tq, rpt)
+        bw_tile = bw_ref[0]                                    # (Tq, gw)
+        # (Tq, rpt) + (Tq, gw) -> (Tq, rpt*gw) without a 3-D reshape
+        # (Mosaic can't shape-cast across the lane dim): static concat.
+        bias = jnp.concatenate(
+            [bh_tile[:, r: r + 1] + bw_tile for r in range(rows_per_tile)],
+            axis=1,
+        )
         s = s + bias
 
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
