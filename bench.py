@@ -11,6 +11,9 @@ Env knobs:
   BENCH_HQ       1|0                     (default 1: SAM-HQ decoder)
   BENCH_FRAMES   measured frames         (default 16)
   BENCH_REFINE   1|0                     (default 1)
+  BENCH_CHUNK    K                       (default 8; 1 = per-frame stepping.
+                                          K>1 scans XMem then batches the SAM
+                                          encode+refine across K frames)
 """
 
 from __future__ import annotations
@@ -48,6 +51,7 @@ def main() -> None:
     hq = os.environ.get("BENCH_HQ", "1") == "1"
     n_frames = int(os.environ.get("BENCH_FRAMES", "16"))
     refine = os.environ.get("BENCH_REFINE", "1") == "1"
+    chunk = int(os.environ.get("BENCH_CHUNK", "1"))
 
     cfg = FrameworkConfig(
         xmem=XMemConfig(max_objects=3),
@@ -77,25 +81,48 @@ def main() -> None:
         xmem_params, state, frames[0], mask, valid, cfg, paint=False
     )
 
-    def step(state, frame):
-        state, indexed, logits, scores, _ = tracker.track_frame(
-            xmem_params, sam_params, state, frame, cfg, paint=False
-        )
-        return state, indexed
+    if chunk > 1:
+        from vosesam_tpu.inference.chunked import track_chunk
 
-    # warmup / compile (np.asarray forces a device->host sync; on the axon
-    # tunnel block_until_ready does not reliably block)
-    state_w, idx = step(state, frames[1])
-    np.asarray(idx)
-    state = state_w
+        n_frames = -(-n_frames // chunk) * chunk
+        fbatch = jnp.stack([frames[i % len(frames)] for i in range(chunk)])
 
-    t0 = time.time()
-    for i in range(n_frames):
-        state, idx = step(state, frames[(i + 2) % len(frames)])
-    sync = np.asarray(idx)
-    dt = time.time() - t0
-    fps = n_frames / dt
-    assert np.isfinite(np.asarray(sync)).all()
+        def step(state, _i):
+            state, indexed, scores = track_chunk(
+                xmem_params, sam_params, state, fbatch, cfg
+            )
+            return state, indexed
+
+        state_w, idx = step(state, 0)
+        np.asarray(idx)
+        state = state_w
+        t0 = time.time()
+        for i in range(n_frames // chunk):
+            state, idx = step(state, i)
+        sync = np.asarray(idx)
+        dt = time.time() - t0
+        fps = n_frames / dt
+        assert np.isfinite(sync).all()
+    else:
+        def step(state, frame):
+            state, indexed, logits, scores, _ = tracker.track_frame(
+                xmem_params, sam_params, state, frame, cfg, paint=False
+            )
+            return state, indexed
+
+        # warmup / compile (np.asarray forces a device->host sync; on the
+        # axon tunnel block_until_ready does not reliably block)
+        state_w, idx = step(state, frames[1])
+        np.asarray(idx)
+        state = state_w
+
+        t0 = time.time()
+        for i in range(n_frames):
+            state, idx = step(state, frames[(i + 2) % len(frames)])
+        sync = np.asarray(idx)
+        dt = time.time() - t0
+        fps = n_frames / dt
+        assert np.isfinite(np.asarray(sync)).all()
 
     label = f"XMem+SAM{'-HQ' if hq else ''} {sam_type}" if refine else "XMem-only"
     print(json.dumps({

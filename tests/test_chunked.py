@@ -1,0 +1,59 @@
+"""Chunked (frame-batched) tracking: equivalence with per-frame stepping."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from tests.test_pipeline import tiny_cfg, synthetic_video, template, H, W
+from vosesam_tpu.inference import core
+from vosesam_tpu.inference.chunked import track_chunk
+from vosesam_tpu.inference.refinement import masks_from_prob
+from vosesam_tpu.pipeline.track_anything import TrackingAnything
+
+
+def test_chunk_matches_per_frame_xmem_only():
+    cfg = tiny_cfg(False)
+    ta = TrackingAnything(cfg=cfg)
+    frames = synthetic_video(5)
+    mask = np.zeros((2, H, W), np.float32)
+    mask[0, 10:24, 10:30] = 1.0
+    valid = jnp.array([True, False])
+
+    st = core.init_tracker_state(cfg, (H, W))
+    st, *_ = core.step_with_mask(
+        ta.xmem_params, st, jnp.asarray(frames[0]), jnp.asarray(mask), valid, cfg
+    )
+    # per-frame reference
+    st_ref = st
+    ref_idx = []
+    for f in frames[1:]:
+        st_ref, prob, _ = core.step(ta.xmem_params, st_ref, jnp.asarray(f), cfg)
+        ref_idx.append(np.asarray(jnp.argmax(prob, 0)))
+
+    # chunked
+    st_chunk, indexed, scores = track_chunk(
+        ta.xmem_params, None, st, jnp.stack([jnp.asarray(f) for f in frames[1:]]), cfg
+    )
+    assert indexed.shape == (4, H, W)
+    for i in range(4):
+        np.testing.assert_array_equal(np.asarray(indexed[i]), ref_idx[i])
+    assert int(st_chunk.curr_ti) == int(st_ref.curr_ti)
+    assert int(st_chunk.memory.work.count) == int(st_ref.memory.work.count)
+
+
+def test_chunk_with_refinement_runs():
+    cfg = tiny_cfg(True)
+    ta = TrackingAnything(cfg=cfg)
+    frames = synthetic_video(3)
+    mask = np.zeros((2, H, W), np.float32)
+    mask[0, 10:24, 10:30] = 1.0
+    st = core.init_tracker_state(cfg, (H, W))
+    st, *_ = core.step_with_mask(
+        ta.xmem_params, st, jnp.asarray(frames[0]), jnp.asarray(mask),
+        jnp.array([True, False]), cfg,
+    )
+    st, indexed, scores = track_chunk(
+        ta.xmem_params, ta.sam_params, st,
+        jnp.stack([jnp.asarray(f) for f in frames[1:]]), cfg,
+    )
+    assert indexed.shape == (2, H, W)
+    assert np.isfinite(np.asarray(scores)[:, 0]).all()

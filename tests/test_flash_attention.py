@@ -33,6 +33,21 @@ def test_flash_matches_xla(rng, gh, gw, d):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)
 
 
+def test_window_kernel_matches_xla(rng):
+    from vosesam_tpu.ops.pallas.flash_attention import window_attention_relpos
+
+    w, heads, wh, ww, d = 3, 2, 5, 9, 64   # non-multiple-of-8 token count
+    t = wh * ww
+    q = jnp.asarray(rng.normal(size=(w, heads, t, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(w, heads, t, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(w, heads, t, d)).astype(np.float32))
+    bh = jnp.asarray(rng.normal(size=(w, heads, t, wh)).astype(np.float32))
+    bw = jnp.asarray(rng.normal(size=(w, heads, t, ww)).astype(np.float32))
+    got = window_attention_relpos(q, k, v, bh, bw, (wh, ww), interpret=True)
+    want = jax.vmap(lambda *a: xla_reference(*a, (wh, ww)))(q, k, v, bh, bw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)
+
+
 def test_encoder_flash_path_matches_xla_path(rng):
     """End-to-end: vit_encode with flash on vs off gives the same embedding."""
     import dataclasses

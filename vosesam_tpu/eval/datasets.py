@@ -76,6 +76,16 @@ class DavisDataset:
     def load_frame(self, video: str, frame_file: str) -> np.ndarray:
         return load_image(os.path.join(self.image_dir, video, frame_file))
 
+    def load_frames(self, video: str, frames: List[str]) -> List[np.ndarray]:
+        """Batch load through the native async JPEG prefetch pipeline
+        (falls back to PIL when the native lib is unavailable)."""
+        paths = [os.path.join(self.image_dir, video, f) for f in frames]
+        if all(p.lower().endswith((".jpg", ".jpeg")) for p in paths):
+            from vosesam_tpu.utils.native_loader import load_frames
+
+            return load_frames(paths)
+        return [load_image(p) for p in paths]
+
     def load_mask(self, video: str, frame_file: str) -> Optional[np.ndarray]:
         path = os.path.join(
             self.mask_dir, video, frame_file.replace(".jpg", ".png")
@@ -129,6 +139,14 @@ class LongVideoDataset:
 
     def load_frame(self, video: str, frame_file: str) -> np.ndarray:
         return load_image(os.path.join(self.image_dir, video, frame_file))
+
+    def load_frames(self, video: str, frames: List[str]) -> List[np.ndarray]:
+        paths = [os.path.join(self.image_dir, video, f) for f in frames]
+        if all(p.lower().endswith((".jpg", ".jpeg")) for p in paths):
+            from vosesam_tpu.utils.native_loader import load_frames
+
+            return load_frames(paths)
+        return [load_image(p) for p in paths]
 
     def load_mask(self, video: str, frame_file: str) -> Optional[np.ndarray]:
         path = os.path.join(

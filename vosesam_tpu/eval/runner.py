@@ -96,7 +96,7 @@ def run_model_on_davis_set(
         if max_videos is not None and vi >= max_videos:
             break
         video = info["name"]
-        frames = [dataset.load_frame(video, f) for f in info["frames"]]
+        frames = dataset.load_frames(video, info["frames"])
         gts = [dataset.load_mask(video, f) for f in info["frames"]]
         vm = _eval_one_video(model, frames, gts[0], gts)
         vm["video"] = video
@@ -148,7 +148,7 @@ def run_model_on_longdata_set(
         if max_videos is not None and vi >= max_videos:
             break
         video = info["name"]
-        frames = [dataset.load_frame(video, f) for f in info["frames"]]
+        frames = dataset.load_frames(video, info["frames"])
         gts: List[Optional[np.ndarray]] = [None] * len(frames)
         for i in info["test_ids"]:
             gts[i] = dataset.load_mask(video, info["frames"][i])
@@ -192,7 +192,7 @@ def run_model_on_longvos_set(
         if max_videos is not None and vi >= max_videos:
             break
         video = info["name"]
-        frames = [dataset.load_frame(video, f) for f in info["frames"]]
+        frames = dataset.load_frames(video, info["frames"])
         template = dataset.load_mask(video, info["frames"][info["test_ids"][0]])
         model.xmem.clear_memory()
         masks, *_ = model.generator(frames, template)

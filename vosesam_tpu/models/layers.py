@@ -172,7 +172,10 @@ def relu(x: jax.Array) -> jax.Array:
 
 
 def gelu(x: jax.Array) -> jax.Array:
-    return jax.nn.gelu(x, approximate=False)
+    # exact (erf) gelu like torch nn.GELU(); erf internally upcasts bf16 to
+    # f32 — cast back so downstream matmuls stay on the bf16 MXU path
+    # (without this the whole following matmul silently runs in fp32).
+    return jax.nn.gelu(x, approximate=False).astype(x.dtype)
 
 
 def interpolate_bilinear(x: jax.Array, scale: float) -> jax.Array:

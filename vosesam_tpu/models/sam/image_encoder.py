@@ -142,6 +142,20 @@ def _attention(
         out = out.transpose(1, 0, 2).reshape(1, h * w, c)
         return linear(out, p["proj"]).reshape(b, h, w, c)
 
+    if use_flash and b > 1:
+        # windowed path: one fused kernel instance per (window, head) —
+        # avoids (B*nw, heads, T, T) HBM materialization, which is what
+        # makes frame-batched encodes feasible.
+        from vosesam_tpu.ops.pallas.flash_attention import window_attention_relpos
+
+        out = window_attention_relpos(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), bias_h, bias_w, hw,
+            interpret=jax.default_backend() != "tpu",
+        )                                           # (b, heads, T, hd)
+        out = out.transpose(0, 2, 1, 3).reshape(b, h * w, c)
+        return linear(out, p["proj"]).reshape(b, h, w, c)
+
     scale = 1.0 / math.sqrt(hd)
     attn = jnp.einsum(
         "bqnc,bknc->bnqk", q, k, preferred_element_type=jnp.float32
@@ -179,7 +193,8 @@ def _block(x: jax.Array, p: Params, heads: int, window: int,
     y = layer_norm(x, p["norm1"])
     if window > 0:
         y, pad_hw = _window_partition(y, window)
-        y = _attention(y, p["attn"], heads, (window, window))
+        y = _attention(y, p["attn"], heads, (window, window),
+                       use_flash=use_flash)
         y = _window_unpartition(y, window, pad_hw, (x.shape[1], x.shape[2]))
     else:
         y = _attention(y, p["attn"], heads, (x.shape[1], x.shape[2]),

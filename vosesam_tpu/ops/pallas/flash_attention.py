@@ -95,6 +95,83 @@ def _flash_kernel(
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
+def _window_kernel(q_ref, k_ref, v_ref, bh_ref, bw_ref, o_ref, *,
+                   tokens: int, wh: int, ww: int, scale: float):
+    """One whole window per grid step — everything fits in VMEM.
+
+    Refs are (1, 1, Tpad, D) / (1, 1, Tpad, wh|ww); tail rows beyond `tokens`
+    are masked out of the softmax."""
+    tpad, d = q_ref.shape[2], q_ref.shape[3]
+    q = q_ref[0, 0].astype(jnp.float32) * scale
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)   # (Tpad, Tpad)
+
+    bh = bh_ref[0, 0].astype(jnp.float32)    # (Tpad, wh)
+    bw = bw_ref[0, 0].astype(jnp.float32)    # (Tpad, ww)
+    # key j at (row, col) = (j // ww, j % ww): build bias columns row-block
+    # by row-block (static python loop, wh blocks of ww lanes each)
+    cols = [bh[:, r: r + 1] + bw for r in range(wh)]
+    bias = jnp.concatenate(cols, axis=1)      # (Tpad, wh*ww = tokens)
+    if tpad > tokens:
+        pad = jnp.full((tpad, tpad - tokens), NEG_INF, jnp.float32)
+        bias = jnp.concatenate([bias, pad], axis=1)
+    s = s + bias
+
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.dot(p, v, preferred_element_type=jnp.float32) / jnp.maximum(l, 1e-30)
+    o_ref[0, 0] = o.astype(o_ref.dtype)
+
+
+def window_attention_relpos(
+    q: jax.Array,        # (W, heads, T, D) — W windows (any batch folded in)
+    k: jax.Array,
+    v: jax.Array,
+    bias_h: jax.Array,   # (W, heads, T, wh)
+    bias_w: jax.Array,   # (W, heads, T, ww)
+    window_hw: Tuple[int, int],
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused windowed attention with factorized rel-pos bias: one grid step
+    per (window, head), score matrix lives only in VMEM. Replaces the XLA
+    path that materializes (W, heads, T, T) in HBM — the blocker for
+    batching SAM encodes across frames."""
+    w, heads, t, d = q.shape
+    wh, ww = window_hw
+    assert t == wh * ww
+    scale = 1.0 / math.sqrt(d)
+    tpad = -(-t // 8) * 8
+    dp = -(-d // 128) * 128
+
+    def pad3(a, last):
+        return jnp.pad(a, ((0, 0), (0, 0), (0, tpad - t), (0, last - a.shape[-1])))
+
+    qp, kp, vp = pad3(q, dp), pad3(k, dp), pad3(v, dp)
+    bhp = pad3(bias_h, bias_h.shape[-1])
+    bwp = pad3(bias_w, bias_w.shape[-1])
+
+    kernel = functools.partial(
+        _window_kernel, tokens=t, wh=wh, ww=ww, scale=scale
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(w, heads),
+        in_specs=[
+            pl.BlockSpec((1, 1, tpad, dp), lambda i, h: (i, h, 0, 0)),
+            pl.BlockSpec((1, 1, tpad, dp), lambda i, h: (i, h, 0, 0)),
+            pl.BlockSpec((1, 1, tpad, dp), lambda i, h: (i, h, 0, 0)),
+            pl.BlockSpec((1, 1, tpad, wh), lambda i, h: (i, h, 0, 0)),
+            pl.BlockSpec((1, 1, tpad, ww), lambda i, h: (i, h, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, tpad, dp), lambda i, h: (i, h, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((w, heads, tpad, dp), q.dtype),
+        interpret=interpret,
+    )(qp, kp, vp, bhp, bwp)
+    return out[:, :, :t, :d]
+
+
 def flash_attention_relpos(
     q: jax.Array,        # (heads, N, D)
     k: jax.Array,        # (heads, N, D)
