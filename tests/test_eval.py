@@ -198,3 +198,39 @@ class TestRunner:
         assert os.path.exists("result/testrun/per_object_metrics.csv")
         assert os.path.exists("result/all_tests.csv")
         assert os.path.exists("result/testrun/masks/bear/00001.png")
+
+    def test_ap_scores_non_contiguous_labels(self):
+        """Regression: GT palettes like {0, 3} must read the score of the
+        tracker's REMAPPED slot (3 -> slot 1), not padded slot 2 (-inf)."""
+        from vosesam_tpu.eval.runner import _eval_one_video
+        from vosesam_tpu.utils.mask_mapper import MaskMapper
+
+        gt = np.zeros((24, 24), np.uint8)
+        gt[4:16, 4:16] = 3          # single object labeled 3
+        frames = [np.zeros((24, 24, 3), np.uint8) for _ in range(3)]
+        gts = [gt.copy() for _ in range(3)]
+
+        class FakeTracker:
+            def __init__(self):
+                self.mapper = MaskMapper()
+
+            def clear_memory(self):
+                # runner captures remappings BEFORE this wipes them
+                self.mapper.clear()
+
+        class FakeModel:
+            def __init__(self):
+                self.xmem = FakeTracker()
+
+            def generator(self, frames, template):
+                self.xmem.mapper.convert_mask(template)   # 3 -> slot 1
+                masks = [template.copy() for _ in frames]
+                # slot-ordered scores: slot 1 = 0.9, padded slot 2 = -inf
+                scores = [[0.9, -np.inf] for _ in frames]
+                return masks, None, frames, scores
+
+        vm = _eval_one_video(FakeModel(), frames, gt, gts)
+        # perfect masks with a finite confidence -> AP@0.5 must be 1, and the
+        # -inf padded slot must never be associated with label 3
+        assert vm["AP50"] == pytest.approx(1.0)
+        assert vm["AP"] == pytest.approx(1.0)

@@ -51,7 +51,11 @@ class MemoryConfig:
     max_long_term_elements: int = 1000  # config.yaml:6
     num_prototypes: int = 128          # config.yaml:7
     top_k: int = 30                    # config.yaml:8
-    top_k_approx: bool = True          # lax.approx_max_k threshold (TPU-fast)
+    # Opt-in: lax.approx_max_k threshold (TPU-fast) instead of exact top-k.
+    # Default OFF — the read sits on the recurrent memory path, so
+    # approximation error compounds through memory writes; keep it a
+    # measured speed knob (tests/test_memory.py quantifies the divergence).
+    top_k_approx: bool = False
     mem_every: int = 5                 # config.yaml:9
     deep_update_every: int = -1        # config.yaml:10 (-1: sync with mem frames)
     enable_long_term: bool = True      # config.yaml:14
@@ -60,12 +64,12 @@ class MemoryConfig:
     def work_capacity(self, hw: int) -> int:
         """Static working-memory slot capacity for a given key-map size HW.
 
-        Reference grows work memory to ``max_mid_term_frames`` frames worth of
-        tokens before consolidating (memory_manager.py:184-190); we
-        preallocate one extra frame of headroom so the add never overflows
-        before the (jitted) consolidation fires.
+        Reference grows work memory to ``max_mid_term_frames`` frames worth
+        of tokens before consolidating (memory_manager.py:184-190);
+        memory/rings.py allocates exactly this and consolidates on the add
+        that would overflow.
         """
-        return (self.max_mid_term_frames + 1) * hw
+        return self.max_mid_term_frames * hw
 
     def min_work_elements(self, hw: int) -> int:
         return self.min_mid_term_frames * hw

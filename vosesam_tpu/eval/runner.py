@@ -45,18 +45,29 @@ def _eval_one_video(
     t0 = time.time()
     masks, logits, painted, scores = model.generator(frames, template_mask)
     dt = time.time() - t0
+    # Scores are ordered by the tracker's *remapped* contiguous slots
+    # (utils/mask_mapper.py); GT palettes may be non-contiguous (e.g. {0,3,7}).
+    # Capture the original-label -> slot map before clear_memory wipes it.
+    remappings: Dict[int, int] = dict(
+        getattr(getattr(model.xmem, "mapper", None), "remappings", None) or {}
+    )
     model.xmem.clear_memory()
+
+    def _score_map(frame_scores) -> Dict[int, float]:
+        if remappings:
+            return {
+                orig: (frame_scores[slot - 1] if slot - 1 < len(frame_scores) else 0.0)
+                for orig, slot in remappings.items()
+            }
+        # No mapper (mock models in tests): assume contiguous labels.
+        return {l + 1: s for l, s in enumerate(frame_scores)}
 
     video_metrics = M.compute_all_video_metrics(masks, gt_masks)
     ap_rows: List[dict] = []
     for i, gt in enumerate(gt_masks):
         if gt is None or i == 0:
             continue
-        score_map = {
-            l + 1: (scores[i][l] if l < len(scores[i]) else 0.0)
-            for l in range(int(gt.max()))
-        }
-        ap_rows.extend(M.true_positives(masks[i], gt, score_map))
+        ap_rows.extend(M.true_positives(masks[i], gt, _score_map(scores[i])))
     video_metrics.update(M.calculate_video_AP(ap_rows))
     video_metrics["fps"] = len(frames) / dt if dt > 0 else 0.0
     video_metrics["masks"] = masks

@@ -91,7 +91,7 @@ def init_memory(
     """Preallocate all memory for a video at key-map resolution (H16, W16)."""
     h16, w16 = hw_shape
     hw = h16 * w16
-    cw = mem_cfg.max_mid_term_frames * hw        # max_work_elements
+    cw = mem_cfg.work_capacity(hw)               # max_work_elements
     cl = mem_cfg.max_long_term_elements
     o = xmem_cfg.max_objects
     ck, cv, ch = xmem_cfg.key_dim, xmem_cfg.value_dim, max(xmem_cfg.hidden_dim, 1)

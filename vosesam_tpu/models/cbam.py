@@ -43,10 +43,15 @@ def cbam_init(key, channels: int, reduction: int = 16, dtype=jnp.float32) -> Par
 
 def cbam(x: jax.Array, p: Params) -> jax.Array:
     """x: (..., H, W, C) -> gated features of the same shape."""
-    # XLA:TPU miscompiles the global-pool reductions when fused into the
-    # surrounding conv graph (NaNs at 480p; CPU and standalone-jit are fine).
-    # The barrier forces the producer to materialize first. Verified on
-    # TPU v5e (axon), JAX 0.9.0 — re-evaluate on toolchain upgrades.
+    # XLA:TPU miscompile workaround (NaNs at 480p; CPU and standalone-jit are
+    # fine; triggered when two CBAM instances appear in one step graph, e.g.
+    # the decoder and value fusers both consuming f16). Probing on the chip
+    # localized the NaN to the degenerate 7x7 2->1-channel SpatialGate conv
+    # when fused into the surrounding graph; a barrier keeps the producer out
+    # of the bad fusion and the conv is run with channels padded to the 8-
+    # sublane tile (mathematically identical — pad channels are zero).
+    # Verified on TPU v5e (axon), JAX 0.9.0 — re-evaluate on toolchain
+    # upgrades.
     x = jax.lax.optimization_barrier(x)
     mlp = p["ChannelGate"]["mlp"]
 
@@ -61,5 +66,9 @@ def cbam(x: jax.Array, p: Params) -> jax.Array:
         [jnp.max(x, axis=-1, keepdims=True), jnp.mean(x, axis=-1, keepdims=True)],
         axis=-1,
     )
-    spatial = conv2d(compress, p["SpatialGate"]["spatial"]["conv"], padding=3)
+    compress = jax.lax.optimization_barrier(compress)
+    compress = jnp.pad(compress, [(0, 0)] * (compress.ndim - 1) + [(0, 6)])
+    sp = dict(p["SpatialGate"]["spatial"]["conv"])
+    sp["weight"] = jnp.pad(sp["weight"], [(0, 0), (0, 0), (0, 6), (0, 0)])
+    spatial = conv2d(compress, sp, padding=3)
     return x * jax.nn.sigmoid(spatial)

@@ -98,8 +98,11 @@ def decoder_init(key, dtype=jnp.float32) -> Params:
 
 
 def _deconv(x, p):
+    # x2 bilinear upsample with align_corners=True (e2fgvi_hq.py:127-130)
+    from vosesam_tpu.ops.image import resize_bilinear_align_corners
+
     h, w = x.shape[1] * 2, x.shape[2] * 2
-    x = jax.image.resize(x, (x.shape[0], h, w, x.shape[3]), "linear")
+    x = resize_bilinear_align_corners(x, (h, w))
     return conv2d(x, p["conv"], padding=1)
 
 
@@ -391,8 +394,11 @@ def generator_init(key, cfg: InpainterConfig, dtype=jnp.float32) -> Params:
 
 
 def _resize_quarter(x: jax.Array) -> jax.Array:
+    # align_corners=True per forward_bidirect_flow (e2fgvi_hq.py:214-221)
+    from vosesam_tpu.ops.image import resize_bilinear_align_corners
+
     t, h, w, c = x.shape
-    return jax.image.resize(x, (t, h // 4, w // 4, c), "linear")
+    return resize_bilinear_align_corners(x, (h // 4, w // 4))
 
 
 def generator_forward(

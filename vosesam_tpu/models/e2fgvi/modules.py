@@ -138,8 +138,11 @@ def spynet_flow(params: Params, ref: jax.Array, supp: jax.Array) -> jax.Array:
         if lvl == 0:
             flow_up = flow
         else:
+            # align_corners=True x2 upsample (flow_comp.py:121-124)
+            from vosesam_tpu.ops.image import resize_bilinear_align_corners
+
             nh, nw = refs[lvl].shape[1:3]
-            flow_up = jax.image.resize(flow, (b, nh, nw, 2), "linear") * 2.0
+            flow_up = resize_bilinear_align_corners(flow, (nh, nw)) * 2.0
         warped = flow_warp(supps[lvl], flow_up, padding_zero=False)
         inp = jnp.concatenate([refs[lvl], warped, flow_up], axis=-1)
         flow = flow_up + _spynet_basic(inp, params["basic_module"][str(lvl)])

@@ -94,6 +94,39 @@ def resize_bilinear(x: jax.Array, out_hw: Sequence[int], axes: Tuple[int, int] =
     return jax.image.resize(x, shape, method="linear")
 
 
+def resize_bilinear_align_corners(x: jax.Array, out_hw: Sequence[int]) -> jax.Array:
+    """Bilinear resize with ``align_corners=True`` semantics on the last
+    (..., H, W, C) spatial axes.
+
+    The E2FGVI flow path downsamples frames to 1/4 with
+    ``F.interpolate(..., align_corners=True)`` (inpainter/model/e2fgvi_hq.py
+    forward_bidirect_flow) — corner pixels map exactly onto corners, unlike
+    jax.image.resize's half-pixel centers."""
+    h, w = x.shape[-3], x.shape[-2]
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+
+    def axis_weights(n_in, n_out):
+        if n_out == 1:
+            src = jnp.zeros((1,), x.dtype)
+        else:
+            src = jnp.linspace(0.0, n_in - 1.0, n_out).astype(x.dtype)
+        i0 = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, n_in - 1)
+        i1 = jnp.minimum(i0 + 1, n_in - 1)
+        t = src - i0.astype(x.dtype)
+        return i0, i1, t
+
+    y0, y1, ty = axis_weights(h, oh)
+    x0, x1, tx = axis_weights(w, ow)
+    rows = (
+        jnp.take(x, y0, axis=-3) * (1 - ty)[:, None, None]
+        + jnp.take(x, y1, axis=-3) * ty[:, None, None]
+    )
+    return (
+        jnp.take(rows, x0, axis=-2) * (1 - tx)[:, None]
+        + jnp.take(rows, x1, axis=-2) * tx[:, None]
+    )
+
+
 def resize_nearest(x: jax.Array, out_hw: Sequence[int], axes: Tuple[int, int] = (-3, -2)) -> jax.Array:
     shape = list(x.shape)
     shape[axes[0] % x.ndim] = int(out_hw[0])
