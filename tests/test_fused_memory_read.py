@@ -1,0 +1,98 @@
+"""Fused Pallas memory-read kernel vs the XLA chain.
+
+The kernel (ops/pallas/memory_read.py) must reproduce
+ops/memory_attention.read_memory_multiobject — the reference semantics of
+tracker/model/memory_util.py:7-80 — including the usage side-output, object
+validity masking, and empty-memory behavior. CPU CI runs interpret mode; the
+compiled-Mosaic check runs in scripts/tpu_verify.py on the real chip.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vosesam_tpu.ops.memory_attention import read_memory_multiobject
+from vosesam_tpu.ops.pallas.memory_read import fused_memory_read
+
+
+def _mk_case(rng, o=3, m=300, q=100, ck=64, cv=96):
+    mk = jnp.asarray(rng.standard_normal((m, ck)).astype(np.float32))
+    ms = jnp.asarray(rng.uniform(1, 5, (m,)).astype(np.float32))
+    qk = jnp.asarray(rng.standard_normal((q, ck)).astype(np.float32))
+    qe = jnp.asarray(rng.uniform(0, 1, (q, ck)).astype(np.float32))
+    mv = jnp.asarray(rng.standard_normal((o, m, cv)).astype(np.float32))
+    kv = jnp.asarray(rng.uniform(0, 1, (m,)) > 0.2)
+    vv = jnp.asarray(rng.uniform(0, 1, (o, m)) > 0.3) & kv[None]
+    return mk, ms, qk, qe, mv, kv, vv
+
+
+def test_fused_matches_xla(rng):
+    mk, ms, qk, qe, mv, kv, vv = _mk_case(rng)
+    vv = vv.at[2].set(False)  # one object without any memory
+    ref_out, ref_use = read_memory_multiobject(
+        mk, ms, mv, qk, qe, kv, vv, 12, return_usage=True
+    )
+    out, use = fused_memory_read(
+        mk, ms, qk, qe, mv, kv[None] & vv, 12, return_usage=True,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(use), np.asarray(ref_use),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_fused_empty_memory(rng):
+    """Frame-0 read: nothing valid -> zero readout, zero usage, no NaN."""
+    mk, ms, qk, qe, mv, kv, vv = _mk_case(rng, o=2, m=64, q=32)
+    none = jnp.zeros_like(vv)
+    out, use = fused_memory_read(
+        mk, ms, qk, qe, mv, none, 8, return_usage=True, interpret=True
+    )
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_array_equal(np.asarray(out), 0.0)
+    np.testing.assert_array_equal(np.asarray(use), 0.0)
+
+
+def test_fused_no_selection_no_shrinkage(rng):
+    mk, ms, qk, qe, mv, kv, vv = _mk_case(rng, o=2, m=128, q=48)
+    ref_out, _ = read_memory_multiobject(
+        mk, None, mv, qk, None, kv, vv, 8, return_usage=False
+    )
+    out, _ = fused_memory_read(
+        mk, None, qk, None, mv, kv[None] & vv, 8, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_fused_multi_tile(rng):
+    """M and Q crossing tile boundaries (multiple m-tiles, q-tiles)."""
+    mk, ms, qk, qe, mv, kv, vv = _mk_case(rng, o=2, m=1100, q=200, cv=64)
+    ref_out, ref_use = read_memory_multiobject(
+        mk, ms, mv, qk, qe, kv, vv, 16, return_usage=True
+    )
+    out, use = fused_memory_read(
+        mk, ms, qk, qe, mv, kv[None] & vv, 16, return_usage=True,
+        q_tile=104, m_tile=512, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(use), np.asarray(ref_use),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_fused_bf16_inputs(rng):
+    """bf16 keys/values with fp32 accumulation (the production dtype mix)."""
+    mk, ms, qk, qe, mv, kv, vv = _mk_case(rng, o=2, m=256, q=64)
+    ref_out, _ = read_memory_multiobject(
+        mk.astype(jnp.bfloat16), ms, mv.astype(jnp.bfloat16),
+        qk.astype(jnp.bfloat16), qe.astype(jnp.bfloat16), kv, vv, 8,
+    )
+    out, _ = fused_memory_read(
+        mk.astype(jnp.bfloat16), ms, qk.astype(jnp.bfloat16),
+        qe.astype(jnp.bfloat16), mv.astype(jnp.bfloat16),
+        kv[None] & vv, 8, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=5e-3, rtol=5e-3)

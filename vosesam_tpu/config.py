@@ -56,6 +56,10 @@ class MemoryConfig:
     # approximation error compounds through memory writes; keep it a
     # measured speed knob (tests/test_memory.py quantifies the divergence).
     top_k_approx: bool = False
+    # Fused Pallas read (sim -> exact top-k threshold -> softmax -> readout,
+    # usage side-output) instead of the XLA chain that materializes the
+    # (O, Q, M) affinity in HBM. Ignored when top_k_approx is set.
+    fused_read: bool = True
     mem_every: int = 5                 # config.yaml:9
     deep_update_every: int = -1        # config.yaml:10 (-1: sync with mem frames)
     enable_long_term: bool = True      # config.yaml:14

@@ -96,6 +96,7 @@ class Tracker:
         sam_params: Optional[predictor.SamParams],
         cfg: FrameworkConfig,
         paint: bool = True,
+        save_inner_masks_folder: Optional[str] = None,
     ) -> None:
         self.xmem_params = xmem_params
         self.sam_params = sam_params
@@ -104,6 +105,18 @@ class Tracker:
         self.mapper = MaskMapper()
         self.state: Optional[core.TrackerState] = None
         self._frame_hw: Optional[Tuple[int, int]] = None
+        # Debug parity with base_tracker.py:80-89: per-frame dumps of the
+        # raw XMem mask vs the SAM-refined mask under
+        # <folder>/inner/{xmem_masks,refinement_masks}/<ti>.png.
+        self._inner_dir: Optional[str] = save_inner_masks_folder
+        self._inner_ti = 0
+        if self._inner_dir:
+            import os
+
+            for sub in ("xmem_masks", "refinement_masks"):
+                os.makedirs(
+                    os.path.join(self._inner_dir, "inner", sub), exist_ok=True
+                )
 
     def clear_memory(self) -> None:
         """base_tracker.py:1092-1096 (no cuda cache to empty here)."""
@@ -151,5 +164,26 @@ class Tracker:
             )
 
         indexed_np = np.asarray(indexed)
+        if self._inner_dir and first_frame_annotation is None:
+            self._dump_inner(np.asarray(logits), indexed_np)
         final = self.mapper.remap_index_mask(indexed_np).astype(np.uint8)
         return final, np.asarray(logits), np.asarray(painted), np.asarray(scores).tolist()
+
+    def _dump_inner(self, logits: np.ndarray, refined: np.ndarray) -> None:
+        """base_tracker.py:80-89 debug artifacts. The pre-refinement XMem
+        mask is re-derived from the (refinement-independent) logits."""
+        import os
+
+        from vosesam_tpu.eval.palette import save_palette_mask
+
+        self._inner_ti += 1
+        xmem_indexed = np.argmax(logits, axis=0).astype(np.uint8)
+        base = os.path.join(self._inner_dir, "inner")
+        save_palette_mask(
+            xmem_indexed,
+            os.path.join(base, "xmem_masks", f"{self._inner_ti:05d}.png"),
+        )
+        save_palette_mask(
+            refined.astype(np.uint8),
+            os.path.join(base, "refinement_masks", f"{self._inner_ti:05d}.png"),
+        )

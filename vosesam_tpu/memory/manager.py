@@ -58,10 +58,18 @@ def match_memory(
         mk, ms, mv, kv, vv = work.keys, work.shrinkage, work.values, work.key_valid(), work.value_valid
 
     # Objects with no values anywhere would soft-max over nothing; mask later.
-    readout_flat, usage = read_memory_multiobject(
-        mk, ms, mv, q, e, kv, vv, cfg.top_k,
-        return_usage=True, approx=cfg.top_k_approx,
-    )
+    if cfg.fused_read and not cfg.top_k_approx and cfg.top_k <= 32:
+        from vosesam_tpu.ops.pallas.memory_read import fused_memory_read
+
+        readout_flat, usage = fused_memory_read(
+            mk, ms, q, e, mv, kv[None, :] & vv, cfg.top_k,
+            return_usage=True, interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        readout_flat, usage = read_memory_multiobject(
+            mk, ms, mv, q, e, kv, vv, cfg.top_k,
+            return_usage=True, approx=cfg.top_k_approx,
+        )
     o = mv.shape[0]
     cv = mv.shape[-1]
     readout = readout_flat.reshape(o, h16, w16, cv)

@@ -1,0 +1,226 @@
+"""Fused XMem memory-read kernel (Pallas TPU): exact top-k threshold →
+sparse softmax → value readout, with the per-key usage side-output.
+
+Reference semantics: tracker/model/memory_util.py:41-80 (top-k softmax +
+readout) driven per object group by memory_manager.py:57-150. The similarity
+itself (memory_util.py:7-39) is computed ONCE in XLA (`get_similarity`) —
+it is shared by every object, and one big MXU matmul beats per-tile
+recomputation; the (Q, M) fp32 sim buffer is streamed through this kernel.
+
+Why a kernel (SURVEY §7 step 2's "north-star"): the XLA chain materializes a
+separate (Q, M) affinity per object (~900 MB of HBM traffic per frame at
+DAVIS-480p with long-term memory) and `lax.top_k` over M lowers to a sort
+costing tens of ms. Here, per (object, query-tile):
+
+  phase A: stream sim tiles; per-tile exact top-k via k-step max extraction
+           (descending) bitonic-merged into a running per-query top-32
+           (O(1) VMEM); at the last tile the k-th lane is the exact
+           threshold, and the softmax denominator l = Σ exp(top_i − max)
+           falls straight out of the running buffer — no second sweep;
+  phase B: stream sim tiles again; admitted entries (sim ≥ threshold)
+           contribute exp(sim − max) · mv to the readout accumulator (MXU)
+           and exp/l column-sums to the usage output.
+
+Tie semantics: within-tile duplicate values collapse during extraction, so
+with duplicates inside the top-k the threshold (and l) can admit slightly
+more mass than the XLA path; both already deviate from torch.topk's
+arbitrary tie selection (memory_util.py:45-54). Ties are measure-zero for
+continuous similarities.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vosesam_tpu.ops.memory_attention import get_similarity
+
+NEG_INF = -1e30
+
+
+def _bitonic_merge_desc(x64: jax.Array) -> jax.Array:
+    """Descending bitonic merge of a (TQ, 64) bitonic sequence (first 32
+    descending, last 32 ascending) — 6 roll/compare-exchange stages."""
+    n = x64.shape[1]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, x64.shape, 1)
+    for d in (32, 16, 8, 4, 2, 1):
+        up = pltpu.roll(x64, n - d, 1)    # x[i+d] -> i (shift must be >= 0)
+        down = pltpu.roll(x64, d, 1)
+        lead = (lanes & d) == 0
+        partner = jnp.where(lead, up, down)
+        x64 = jnp.where(lead, jnp.maximum(x64, partner),
+                        jnp.minimum(x64, partner))
+    return x64
+
+
+def _memory_read_kernel(
+    sim_ref,     # (TQ, TM) fp32 — shared similarity tile
+    valid_ref,   # (1, 1, TM) fp32 — per-object slot validity
+    mv_ref,      # (1, TM, Cv)
+    out_ref,     # (1, TQ, Cv) fp32
+    usage_ref,   # (1, 1, 1, 1, TM) fp32 — phase-indexed, only phase B summed
+    run_ref,     # scratch (TQ, 32) fp32 — running top-32 (desc)
+    th_ref,      # scratch (TQ, 1) fp32 — k-th threshold
+    rm_ref,      # scratch (TQ, 1) fp32 — row max
+    l_ref,       # scratch (TQ, 1) fp32 — softmax denominator
+    acc_ref,     # scratch (TQ, Cv) fp32
+    *,
+    n_m: int,
+    top_k: int,
+    q_true: int,
+):
+    s = pl.program_id(2)
+    qi = pl.program_id(1)
+    j = s % n_m          # memory-tile index
+    phase = s // n_m     # 0: threshold + denominator, 1: readout + usage
+
+    valid = valid_ref[0, 0].astype(jnp.float32)[None, :]
+    sim = jnp.where(valid > 0.5, sim_ref[:], NEG_INF)
+    tq = sim.shape[0]
+
+    @pl.when(phase == 0)
+    def _threshold_phase():
+        @pl.when(j == 0)
+        def _():
+            rm_ref[:] = jnp.full((tq, 1), NEG_INF, jnp.float32)
+            run_ref[:] = jnp.full_like(run_ref, NEG_INF)
+
+        rm_ref[:] = jnp.maximum(rm_ref[:], jnp.max(sim, axis=-1, keepdims=True))
+
+        # k-step distinct-max extraction into an ASCENDING (TQ, 32) buffer:
+        # the i-th extracted max lands at lane 31-i via a lane-select, so no
+        # per-step column buffers are materialized (each would pad to 128
+        # lanes and blow the VMEM stack).
+        x = sim
+        cand = jnp.full((tq, 32), NEG_INF, jnp.float32)
+        lanes32 = jax.lax.broadcasted_iota(jnp.int32, (tq, 32), 1)
+        for i in range(top_k):
+            mx = jnp.max(x, axis=-1, keepdims=True)
+            cand = jnp.where(lanes32 == 31 - i, mx, cand)
+            x = jnp.where(x >= mx, NEG_INF, x)
+        # [running desc top-32 | tile asc top-k] is bitonic -> merge
+        merged = _bitonic_merge_desc(jnp.concatenate([run_ref[:], cand], axis=1))
+        run_ref[:] = merged[:, :32]
+
+        @pl.when(j == n_m - 1)
+        def _():
+            th_ref[:] = run_ref[:, top_k - 1: top_k]
+            # denominator straight from the top-k values: the admitted set IS
+            # the top-k (modulo documented tie collapse), so
+            # l = Σ_{i<k} exp(run_i − rm). NEG_INF-padded lanes (rows with
+            # fewer than k valid slots) contribute exp(−inf)=0; the all-
+            # invalid row degenerates to l=k with a zero numerator -> out 0.
+            top_lanes = jax.lax.broadcasted_iota(
+                jnp.int32, (tq, 32), 1) < top_k
+            ex = jnp.where(top_lanes, jnp.exp(run_ref[:] - rm_ref[:]), 0.0)
+            l_ref[:] = jnp.sum(ex, axis=-1, keepdims=True)
+
+    @pl.when(phase == 1)
+    def _readout_phase():
+        @pl.when(j == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        admit = (sim >= th_ref[:]) & (valid > 0.5)
+        e = jnp.where(admit, jnp.exp(sim - rm_ref[:]), 0.0)
+        # padded query rows (q >= q_true) must not contribute to usage
+        row = qi * tq + jax.lax.broadcasted_iota(jnp.int32, (tq, 1), 0)
+        e = jnp.where(row < q_true, e, 0.0)
+        linv = 1.0 / jnp.maximum(l_ref[:], 1e-30)
+        acc_ref[:] = acc_ref[:] + jnp.dot(
+            e, mv_ref[0].astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        # usage: normalized-affinity column sums (memory_util.py:62-63)
+        usage_ref[0, 0, 0] = jnp.sum(e * linv, axis=0, keepdims=True)
+
+        @pl.when(j == n_m - 1)
+        def _():
+            out_ref[0] = acc_ref[:] * linv
+
+    # phase 0 must still define its usage blocks (zero contribution)
+    @pl.when(phase == 0)
+    def _():
+        usage_ref[0, 0, 0] = jnp.zeros((1, sim.shape[1]), jnp.float32)
+
+
+def fused_memory_read(
+    mk: jax.Array,              # (M, Ck)
+    ms: Optional[jax.Array],    # (M,) shrinkage or None
+    qk: jax.Array,              # (Q, Ck)
+    qe: Optional[jax.Array],    # (Q, Ck) selection or None
+    mv: jax.Array,              # (O, M, Cv)
+    valid: jax.Array,           # (O, M) bool — key & value validity combined
+    top_k: int,
+    return_usage: bool = False,
+    # sized so sim workspace, acc/out (tq, Cv) fp32, and double-buffered
+    # bf16/fp32 mv tiles fit the 16 MB VMEM scope
+    q_tile: int = 416,
+    m_tile: int = 512,
+    interpret: bool = False,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Returns ((O, Q, Cv) fp32 readout, (M,) fp32 usage or None)."""
+    o, m, cv = mv.shape
+    q, ck = qk.shape
+    if min(top_k, m) > 32:
+        raise ValueError(
+            f"fused_memory_read supports top_k <= 32 (running top-32 "
+            f"candidate buffer); got {top_k}"
+        )
+    mp = -(-m // m_tile) * m_tile
+    tq = min(q_tile, -(-q // 8) * 8)
+    qp = -(-q // tq) * tq
+    n_m = mp // m_tile
+    n_q = qp // tq
+    k = min(top_k, m)
+
+    # Shared similarity, one big MXU matmul in fp32 (memory_util.py:7-39);
+    # identical code to the XLA fallback so the two paths agree bitwise.
+    sim = get_similarity(mk, ms, qk, qe)        # (Q, M) fp32
+    sim_p = jnp.pad(sim, ((0, qp - q), (0, mp - m)), constant_values=NEG_INF)
+    valid_p = jnp.pad(valid.astype(jnp.float32), ((0, 0), (0, mp - m)))[:, None, :]
+    mv_p = jnp.pad(mv, ((0, 0), (0, mp - m), (0, 0)))
+
+    kernel = functools.partial(
+        _memory_read_kernel, n_m=n_m, top_k=k, q_true=q
+    )
+    out, usage3 = pl.pallas_call(
+        kernel,
+        grid=(o, n_q, 2 * n_m),
+        in_specs=[
+            pl.BlockSpec((tq, m_tile), lambda i, qi, s, _n=n_m: (qi, s % _n)),
+            pl.BlockSpec((1, 1, m_tile), lambda i, qi, s, _n=n_m: (i, 0, s % _n)),
+            pl.BlockSpec((1, m_tile, cv), lambda i, qi, s, _n=n_m: (i, s % _n, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tq, cv), lambda i, qi, s: (i, qi, 0)),
+            pl.BlockSpec(
+                (1, 1, 1, 1, m_tile),
+                lambda i, qi, s, _n=n_m: (i, qi, s // _n, 0, s % _n),
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((o, qp, cv), jnp.float32),
+            jax.ShapeDtypeStruct((o, n_q, 2, 1, mp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tq, 32), jnp.float32),       # running top-32
+            pltpu.VMEM((tq, 1), jnp.float32),        # th
+            pltpu.VMEM((tq, 1), jnp.float32),        # rm
+            pltpu.VMEM((tq, 1), jnp.float32),        # l
+            pltpu.VMEM((tq, cv), jnp.float32),       # acc
+        ],
+        interpret=interpret,
+    )(sim_p, valid_p, mv_p)
+
+    out = out[:, :q]
+    if not return_usage:
+        return out, None
+    usage = jnp.sum(usage3[:, :, 1, 0, :m], axis=(0, 1))
+    return out, usage

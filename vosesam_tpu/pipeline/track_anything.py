@@ -60,6 +60,7 @@ class TrackingAnything:
         e2fgvi_checkpoint: Optional[str] = None,
         cfg: Optional[FrameworkConfig] = None,
         runname: Optional[str] = None,
+        save_inner_masks_folder: Optional[str] = None,
     ) -> None:
         self.cfg = cfg or FrameworkConfig()
         self.runname = runname
@@ -76,7 +77,10 @@ class TrackingAnything:
             if self.sam_params is not None
             else None
         )
-        self.xmem = Tracker(self.xmem_params, self.sam_params, self.cfg)
+        self.xmem = Tracker(
+            self.xmem_params, self.sam_params, self.cfg,
+            save_inner_masks_folder=save_inner_masks_folder,
+        )
         self.baseinpainter = None  # built lazily via vosesam_tpu.models.e2fgvi
         if e2fgvi_checkpoint:
             from vosesam_tpu.pipeline.inpaint import Inpainter

@@ -17,23 +17,41 @@ import numpy as np
 
 from vosesam_tpu.ops import morphology as morph
 
-# A 80-entry categorical colormap (RGB uint8) — same role as
-# tools/painter.py:10-103 (values regenerated, not copied).
-def _build_colormap(n: int = 80) -> np.ndarray:
-    rng = np.random.default_rng(2024)
-    base = np.array(
-        [
-            [255, 99, 71], [60, 179, 113], [65, 105, 225], [255, 215, 0],
-            [186, 85, 211], [0, 206, 209], [255, 140, 0], [220, 20, 60],
-            [154, 205, 50], [30, 144, 255], [255, 105, 180], [0, 250, 154],
-        ],
-        np.uint8,
-    )
-    extra = rng.integers(40, 255, (max(0, n - len(base)), 3), dtype=np.uint8)
-    return np.concatenate([base, extra], 0)[:n]
+# The exact colormap constant the reference paints with (tools/painter.py:
+# 10-103 — the public Detectron color table; entry 0 is black/background,
+# entry 1 white, objects use entries label+1). Vendoring the constant keeps
+# painted outputs pixel-comparable with the reference's.
+_COLORMAP_FRACTIONS = (
+    (0.000, 0.000, 0.000), (1.000, 1.000, 1.000), (1.000, 0.498, 0.313),
+    (0.392, 0.581, 0.929), (0.000, 0.447, 0.741), (0.850, 0.325, 0.098),
+    (0.929, 0.694, 0.125), (0.494, 0.184, 0.556), (0.466, 0.674, 0.188),
+    (0.301, 0.745, 0.933), (0.635, 0.078, 0.184), (0.300, 0.300, 0.300),
+    (0.600, 0.600, 0.600), (1.000, 0.000, 0.000), (1.000, 0.500, 0.000),
+    (0.749, 0.749, 0.000), (0.000, 1.000, 0.000), (0.000, 0.000, 1.000),
+    (0.667, 0.000, 1.000), (0.333, 0.333, 0.000), (0.333, 0.667, 0.000),
+    (0.333, 1.000, 0.000), (0.667, 0.333, 0.000), (0.667, 0.667, 0.000),
+    (0.667, 1.000, 0.000), (1.000, 0.333, 0.000), (1.000, 0.667, 0.000),
+    (1.000, 1.000, 0.000), (0.000, 0.333, 0.500), (0.000, 0.667, 0.500),
+    (0.000, 1.000, 0.500), (0.333, 0.000, 0.500), (0.333, 0.333, 0.500),
+    (0.333, 0.667, 0.500), (0.333, 1.000, 0.500), (0.667, 0.000, 0.500),
+    (0.667, 0.333, 0.500), (0.667, 0.667, 0.500), (0.667, 1.000, 0.500),
+    (1.000, 0.000, 0.500), (1.000, 0.333, 0.500), (1.000, 0.667, 0.500),
+    (1.000, 1.000, 0.500), (0.000, 0.333, 1.000), (0.000, 0.667, 1.000),
+    (0.000, 1.000, 1.000), (0.333, 0.000, 1.000), (0.333, 0.333, 1.000),
+    (0.333, 0.667, 1.000), (0.333, 1.000, 1.000), (0.667, 0.000, 1.000),
+    (0.667, 0.333, 1.000), (0.667, 0.667, 1.000), (0.667, 1.000, 1.000),
+    (1.000, 0.000, 1.000), (1.000, 0.333, 1.000), (1.000, 0.667, 1.000),
+    (0.167, 0.000, 0.000), (0.333, 0.000, 0.000), (0.500, 0.000, 0.000),
+    (0.667, 0.000, 0.000), (0.833, 0.000, 0.000), (1.000, 0.000, 0.000),
+    (0.000, 0.167, 0.000), (0.000, 0.333, 0.000), (0.000, 0.500, 0.000),
+    (0.000, 0.667, 0.000), (0.000, 0.833, 0.000), (0.000, 1.000, 0.000),
+    (0.000, 0.000, 0.167), (0.000, 0.000, 0.333), (0.000, 0.000, 0.500),
+    (0.000, 0.000, 0.667), (0.000, 0.000, 0.833), (0.000, 0.000, 1.000),
+    (0.143, 0.143, 0.143), (0.286, 0.286, 0.286), (0.429, 0.429, 0.429),
+    (0.571, 0.571, 0.571), (0.714, 0.714, 0.714), (0.857, 0.857, 0.857),
+)
 
-
-COLORMAP = _build_colormap()
+COLORMAP = (np.asarray(_COLORMAP_FRACTIONS, np.float32) * 255).astype(np.uint8)
 
 
 def mask_painter(
@@ -87,17 +105,22 @@ def paint_indexed(
     contour_width: int = 2,
 ) -> jax.Array:
     """Paint every object of an indexed mask (base_tracker.py:197-202 loop),
-    vectorized: blend all objects at once, then draw contour bands."""
+    vectorized: blend all objects at once, then draw contour bands.
+
+    Color convention matches the reference loop: object label o is painted
+    with COLORMAP[o + 1] (mask_color=obj+1, base_tracker.py:202) and the
+    contour with COLORMAP[1] (mask_painter's default contour_color=1)."""
     img = image.astype(jnp.float32)
-    cmap = jnp.asarray(COLORMAP[: max_objects + 1], jnp.float32)  # 1-based
+    cmap = jnp.asarray(COLORMAP[1: max_objects + 2], jnp.float32)  # label o -> o+1
     is_obj = indexed > 0
     color_map = cmap[jnp.clip(indexed, 0, max_objects)]
     blended = jnp.where(
         is_obj[..., None], img * (1.0 - alpha) + color_map * alpha, img
     )
     out = blended
+    contour_color = jnp.asarray(COLORMAP[1], jnp.float32)
     for o in range(1, max_objects + 1):
         m = indexed == o
         band = morph.dilate(m, contour_width) & ~morph.erode(m, contour_width)
-        out = jnp.where(band[..., None], cmap[o], out)
+        out = jnp.where(band[..., None], contour_color, out)
     return jnp.clip(out, 0, 255).astype(jnp.uint8)
