@@ -56,6 +56,7 @@ class AppSession:
     click_labels: List[int] = field(default_factory=list)
     masks: List[np.ndarray] = field(default_factory=list)      # saved per-object
     current_mask: Optional[np.ndarray] = None
+    last_masks: Optional[List[np.ndarray]] = None              # tracking output
 
     # ------------------------------------------------------------ callbacks
     def load_video(self, path: str) -> int:
@@ -97,11 +98,17 @@ class AppSession:
             self.masks.pop()
         return len(self.masks)
 
-    def template_mask(self) -> np.ndarray:
-        """Merge selected masks into one indexed template (app.py:245-253)."""
+    def template_mask(self, selected: Optional[List[int]] = None) -> np.ndarray:
+        """Merge selected masks into one indexed template (app.py:245-253).
+
+        `selected`: indices into the saved mask list (the reference's
+        mask_dropdown 'mask_00i' entries); None selects all saved masks (or
+        the in-progress click mask)."""
         objs = self.masks if self.masks else (
             [self.current_mask] if self.current_mask is not None else []
         )
+        if selected is not None and self.masks:
+            objs = [self.masks[i] for i in selected if 0 <= i < len(self.masks)]
         if not objs:
             raise ValueError("no masks selected")
         out = np.zeros(objs[0].shape, np.uint8)
@@ -109,14 +116,28 @@ class AppSession:
             out[m > 0] = i + 1
         return out
 
-    def track(self, output_path: Optional[str] = None):
+    def track(self, output_path: Optional[str] = None,
+              selected: Optional[List[int]] = None):
         """vos_tracking_video (app.py:232-295)."""
         end = self.track_end or len(self.frames)
         frames = self.frames[self.template_idx:end]
+        if self.resize_ratio != 1.0:
+            import PIL.Image as PILImage
+
+            def rs(f):
+                h, w = f.shape[:2]
+                return np.asarray(PILImage.fromarray(f).resize(
+                    (int(w * self.resize_ratio), int(h * self.resize_ratio))))
+
+            frames = [rs(f) for f in frames]
+            tmpl = np.asarray(PILImage.fromarray(
+                self.template_mask(selected)).resize(
+                (frames[0].shape[1], frames[0].shape[0]), PILImage.NEAREST))
+        else:
+            tmpl = self.template_mask(selected)
         self.model.xmem.clear_memory()
-        masks, logits, painted, scores = self.model.generator(
-            frames, self.template_mask()
-        )
+        masks, logits, painted, scores = self.model.generator(frames, tmpl)
+        self.last_masks = masks
         if output_path:
             write_video(output_path, painted, fps=10)
         return masks, painted, scores
@@ -151,37 +172,95 @@ def build_ui(session: AppSession):
         ) from e
 
     with gr.Blocks() as demo:
-        video_in = gr.Video(label="input video")
-        frame_view = gr.Image(label="template frame")
-        n_frames = gr.Number(label="frames", precision=0)
-        slider = gr.Slider(0, 1, step=1, label="template frame index")
-        point_mode = gr.Radio(["positive", "negative"], value="positive")
-        add_btn = gr.Button("add mask")
-        remove_btn = gr.Button("remove mask")
-        track_btn = gr.Button("track")
-        video_out = gr.Video(label="tracked")
+        with gr.Row():
+            video_in = gr.Video(label="input video")
+            frame_view = gr.Image(label="template frame")
+        with gr.Row():
+            n_frames = gr.Number(label="frames", precision=0)
+            slider = gr.Slider(0, 1, step=1, label="template frame index")
+            # track-end + resize-ratio controls (reference app.py:456-470)
+            end_slider = gr.Slider(0, 1, step=1, label="track end frame")
+            ratio = gr.Slider(0.1, 1.0, value=1.0, step=0.05,
+                              label="resize ratio")
+        with gr.Row():
+            point_mode = gr.Radio(["positive", "negative"], value="positive",
+                                  label="point prompt")
+            add_btn = gr.Button("add mask")
+            remove_btn = gr.Button("remove mask")
+            mask_dropdown = gr.Dropdown(
+                multiselect=True, value=[], label="mask selection",
+                choices=[],
+            )
+        with gr.Row():
+            track_btn = gr.Button("track")
+            inpaint_btn = gr.Button("inpaint")
+        with gr.Row():
+            video_out = gr.Video(label="tracked")
+            inpaint_out = gr.Video(label="inpainted")
 
         def on_video(path):
             n = session.load_video(path)
-            return n, gr.update(maximum=max(n - 1, 0))
+            mx = max(n - 1, 0)
+            return n, gr.update(maximum=mx), gr.update(maximum=mx, value=mx)
 
-        video_in.change(on_video, [video_in], [n_frames, slider])
+        video_in.change(on_video, [video_in], [n_frames, slider, end_slider])
         slider.change(lambda i: session.select_template(int(i)), [slider], [frame_view])
+
+        def on_end(i):
+            session.track_end = int(i) + 1
+        end_slider.change(on_end, [end_slider], [])
+
+        def on_ratio(r):
+            session.resize_ratio = float(r)
+        ratio.change(on_ratio, [ratio], [])
 
         def on_click(mode, evt: "gr.SelectData"):
             x, y = evt.index
             return session.click(x, y, mode == "positive")
 
         frame_view.select(on_click, [point_mode], [frame_view])
-        add_btn.click(lambda: session.add_mask(), [], [])
-        remove_btn.click(lambda: session.remove_mask(), [], [])
 
-        def on_track():
+        def choices():
+            return [f"mask_{i + 1:03d}" for i in range(len(session.masks))]
+
+        def on_add():
+            session.add_mask()
+            return gr.update(choices=choices(), value=choices())
+
+        def on_remove():
+            session.remove_mask()
+            return gr.update(choices=choices(), value=choices())
+
+        add_btn.click(on_add, [], [mask_dropdown])
+        remove_btn.click(on_remove, [], [mask_dropdown])
+
+        def on_track(selected):
             out = "/tmp/vosesam_track.mp4"
-            session.track(out)
+            idx = [int(s.split("_")[1]) - 1 for s in (selected or [])] or None
+            session.track(out, selected=idx)
             return out
 
-        track_btn.click(on_track, [], [video_out])
+        track_btn.click(on_track, [mask_dropdown], [video_out])
+
+        def on_inpaint():
+            out = "/tmp/vosesam_inpaint.mp4"
+            if session.last_masks is None:
+                raise gr.Error("track first — inpainting uses tracked masks")
+            session.inpaint(session.last_masks, out)
+            return out
+
+        inpaint_btn.click(on_inpaint, [], [inpaint_out])
+
+        # example videos (reference app.py:600-610)
+        sample_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "test_sample")
+        if os.path.isdir(sample_dir):
+            examples = [
+                os.path.join(sample_dir, f)
+                for f in sorted(os.listdir(sample_dir)) if f.endswith(".mp4")
+            ]
+            if examples:
+                gr.Examples(examples=examples, inputs=[video_in])
     return demo
 
 

@@ -234,3 +234,67 @@ class TestRunner:
         # -inf padded slot must never be associated with label 3
         assert vm["AP50"] == pytest.approx(1.0)
         assert vm["AP"] == pytest.approx(1.0)
+
+
+class TestOvis:
+    def _make_layout(self, root):
+        import json
+
+        from vosesam_tpu.eval.rle import encode_rle
+
+        h, w, n = 32, 48, 3
+        os.makedirs(os.path.join(root, "vid_a"), exist_ok=True)
+        rng = np.random.default_rng(0)
+        fnames = []
+        segs1, segs2 = [], []
+        for i in range(n):
+            img = rng.integers(0, 255, (h, w, 3), np.uint8)
+            fn = f"vid_a/img_{i:07d}.jpg"
+            Image.fromarray(img).save(os.path.join(root, fn))
+            fnames.append(fn)
+            m1 = np.zeros((h, w), np.uint8)
+            m1[8:20, 10 + i:26 + i] = 1
+            segs1.append(encode_rle(m1))
+            m2 = np.zeros((h, w), np.uint8)
+            m2[2:8, 2:10] = 1
+            segs2.append(encode_rle(m2) if i < 2 else None)  # vanishes
+        data = {
+            "videos": [{"id": 7, "file_names": fnames, "height": h, "width": w}],
+            "annotations": [
+                {"id": 1, "video_id": 7, "segmentations": segs1},
+                {"id": 2, "video_id": 7, "segmentations": segs2},
+            ],
+            "categories": [{"id": 1, "name": "thing"}],
+        }
+        ann_path = os.path.join(root, "ann.json")
+        with open(ann_path, "w") as f:
+            json.dump(data, f)
+        return ann_path
+
+    def test_ovis_dataset(self, tmp_path):
+        from vosesam_tpu.eval.ovis import OvisDataset
+
+        ann = self._make_layout(str(tmp_path))
+        ds = OvisDataset(str(tmp_path), ann)
+        assert len(ds.videos) == 1
+        frames = ds.load_frames(ds.videos[0])
+        assert len(frames) == 3 and frames[0].shape == (32, 48, 3)
+        gt0 = ds.indexed_gt(ds.videos[0], 0)
+        assert set(np.unique(gt0)) == {0, 1, 2}
+        gt2 = ds.indexed_gt(ds.videos[0], 2)
+        assert set(np.unique(gt2)) == {0, 1}  # object 2 vanished
+
+    def test_ovis_runner_end_to_end(self, tmp_path, monkeypatch):
+        from tests.test_pipeline import tiny_cfg
+        from vosesam_tpu.eval.ovis import OvisDataset, run_model_on_ovis_set
+        from vosesam_tpu.pipeline.track_anything import TrackingAnything
+
+        ann = self._make_layout(str(tmp_path / "ovis"))
+        monkeypatch.chdir(tmp_path)
+        ds = OvisDataset(str(tmp_path / "ovis"), ann)
+        model = TrackingAnything(cfg=tiny_cfg(False))
+        df = run_model_on_ovis_set("ovisrun", model, ds, save_masks=True)
+        assert len(df) == 1
+        assert 0.0 <= df["JF_mean"].iloc[0] <= 1.0
+        assert os.path.exists("result/ovisrun/whole_metrics.csv")
+        assert os.path.exists("result/ovisrun/masks/vid_a/img_0000001.png")

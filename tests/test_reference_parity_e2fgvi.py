@@ -229,3 +229,45 @@ def test_generator_forward_parity(ref_gen, jax_params, rng):
     out_ref = out_t.view(T, 3, H, W).permute(0, 2, 3, 1).numpy()
     err = np.abs(np.asarray(out_j) - out_ref).max()
     assert err < 2e-2, f"generator output max err {err}"
+
+
+def test_discriminator_parity(rng):
+    """T-PatchGAN discriminator forward (e2fgvi_hq.py:271-344) with spectral
+    norm vs torch, converted weights, eval mode (stored u/v, no iteration)."""
+    from inpainter.model.e2fgvi_hq import Discriminator as RefDisc
+
+    from vosesam_tpu.models.e2fgvi.discriminator import (
+        discriminator_forward,
+    )
+
+    torch.manual_seed(1)
+    ref = RefDisc(use_sigmoid=False, use_spectral_norm=True,
+                  init_weights=False).eval()
+    # one forward to settle the power-iteration buffers like training would
+    warm = torch.from_numpy(
+        rng.uniform(-1, 1, (1, 4, 3, 32, 48)).astype(np.float32))
+    with torch.no_grad():
+        ref(warm)
+
+    sd = {k: v.detach().cpu().numpy() for k, v in ref.state_dict().items()}
+    params = {"conv": {}}
+    for i in range(6):
+        key = f"conv.{2 * i}"
+        p = {}
+        if f"{key}.weight_orig" in sd:
+            w = sd[f"{key}.weight_orig"]       # (cout, cin, kt, kh, kw)
+            p["u"] = sd[f"{key}.weight_u"]
+            p["v"] = sd[f"{key}.weight_v"]
+        else:
+            w = sd[f"{key}.weight"]
+        p["weight"] = np.transpose(w, (2, 3, 4, 1, 0))  # -> THWIO
+        if f"{key}.bias" in sd:
+            p["bias"] = sd[f"{key}.bias"]
+        params["conv"][str(2 * i)] = {k: jnp.asarray(v) for k, v in p.items()}
+
+    x = rng.uniform(-1, 1, (1, 4, 32, 48, 3)).astype(np.float32)
+    with torch.no_grad():
+        out_t = ref(torch.from_numpy(x.transpose(0, 1, 4, 2, 3)))
+    out_j, _ = discriminator_forward(params, jnp.asarray(x))
+    ref_np = out_t.numpy().transpose(0, 1, 3, 4, 2)
+    np.testing.assert_allclose(np.asarray(out_j), ref_np, atol=2e-4, rtol=1e-3)
