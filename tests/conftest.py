@@ -19,6 +19,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent jit cache: the suite is compile-dominated on this single-core
+# host (>20 min cold); cached executables cut reruns several-fold.
+_CACHE = os.path.join(os.path.dirname(__file__), ".jax_cache_cpu")
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -127,3 +127,38 @@ class TestBatchedEvaluation:
         # valid objects get finite scores; padded slots are -inf by design
         assert np.isfinite(np.asarray(scores)[:, 0]).all()
         assert np.all(np.asarray(scores)[:, 1] == -np.inf)
+
+
+class TestShardedMemoryRead:
+    def test_matches_single_device(self, rng):
+        """Memory-axis-sharded read over an 8-device CPU mesh == the
+        single-device XLA chain, exactly (the gathered-candidate threshold
+        is exact)."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import Mesh
+
+        from vosesam_tpu.ops.memory_attention import read_memory_multiobject
+        from vosesam_tpu.parallel.memory_shard import make_sharded_read
+
+        O, M, Q, CK, CV, K = 2, 512, 64, 32, 48, 8
+        mk = jnp.asarray(rng.standard_normal((M, CK)).astype(np.float32))
+        ms = jnp.asarray(rng.uniform(1, 4, (M,)).astype(np.float32))
+        qk = jnp.asarray(rng.standard_normal((Q, CK)).astype(np.float32))
+        qe = jnp.asarray(rng.uniform(0, 1, (Q, CK)).astype(np.float32))
+        mv = jnp.asarray(rng.standard_normal((O, M, CV)).astype(np.float32))
+        kv = jnp.asarray(rng.uniform(0, 1, (M,)) > 0.2)
+        vv = jnp.asarray(rng.uniform(0, 1, (O, M)) > 0.3) & kv[None]
+
+        ref_out, ref_use = read_memory_multiobject(
+            mk, ms, mv, qk, qe, kv, vv, K, return_usage=True)
+
+        devs = np.asarray(jax.devices()[:8])
+        mesh = Mesh(devs, ("mem",))
+        read = make_sharded_read(mesh, "mem", K)
+        out, use = read(mk, ms, qk, qe, mv, (kv[None] & vv).astype(np.float32) > 0.5)
+
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                                   atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(use), np.asarray(ref_use),
+                                   atol=1e-4, rtol=1e-4)

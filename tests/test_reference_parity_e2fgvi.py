@@ -34,7 +34,7 @@ REF = "/root/reference"
 if not os.path.isdir(REF):  # pragma: no cover
     pytest.skip("reference tree not available", allow_module_level=True)
 if REF not in sys.path:
-    sys.path.insert(0, REF)
+    sys.path.append(REF)  # append: don't shadow repo-root modules (app.py)
 
 
 # ------------------------------------------------------------ mmcv/mmengine shims

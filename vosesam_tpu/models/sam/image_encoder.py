@@ -192,9 +192,14 @@ def _block(x: jax.Array, p: Params, heads: int, window: int,
     shortcut = x
     y = layer_norm(x, p["norm1"])
     if window > 0:
+        # Windowed attention stays on the XLA path: the (nW·B, 196, 196)
+        # score tensors are small enough to live in VMEM post-fusion, and the
+        # per-(window, head) Pallas grid's tiny matmuls measured SLOWER than
+        # XLA's batched einsum on v5e (3.4 vs 4.1 ms/block). Flash pays off
+        # only for the global blocks' 4096-token attention (9.6 vs 13.8 ms).
         y, pad_hw = _window_partition(y, window)
         y = _attention(y, p["attn"], heads, (window, window),
-                       use_flash=use_flash)
+                       use_flash=False)
         y = _window_unpartition(y, window, pad_hw, (x.shape[1], x.shape[2]))
     else:
         y = _attention(y, p["attn"], heads, (x.shape[1], x.shape[2]),
