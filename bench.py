@@ -11,9 +11,12 @@ Env knobs:
   BENCH_HQ       1|0                     (default 1: SAM-HQ decoder)
   BENCH_FRAMES   measured frames         (default 16)
   BENCH_REFINE   1|0                     (default 1)
-  BENCH_CHUNK    K                       (default 8; 1 = per-frame stepping.
-                                          K>1 scans XMem then batches the SAM
-                                          encode+refine across K frames)
+  BENCH_CHUNK    K                       (default 4 — the measured sweet spot;
+                                          1 = per-frame stepping. K>1 scans
+                                          XMem then batches the SAM
+                                          encode+refine across K frames —
+                                          bit-equal to per-frame, proven by
+                                          tests/test_chunked.py)
 """
 
 from __future__ import annotations
@@ -51,7 +54,7 @@ def main() -> None:
     hq = os.environ.get("BENCH_HQ", "1") == "1"
     n_frames = int(os.environ.get("BENCH_FRAMES", "16"))
     refine = os.environ.get("BENCH_REFINE", "1") == "1"
-    chunk = int(os.environ.get("BENCH_CHUNK", "1"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "4"))
 
     cfg = FrameworkConfig(
         xmem=XMemConfig(max_objects=3),

@@ -116,6 +116,7 @@ class TestDriver:
         ids = get_ref_index(0, [0, 1, 2], 30, -1, 10)
         assert ids == [10, 20]
 
+    @pytest.mark.slow
     def test_inpaint_small_video(self):
         inp = Inpainter(cfg=CFG)
         rng = np.random.default_rng(0)

@@ -110,6 +110,7 @@ class TestBatchedEvaluation:
         single_idx = np.asarray(jnp.argmax(p2, 0))
         np.testing.assert_array_equal(np.asarray(indexed2[0]), single_idx)
 
+    @pytest.mark.slow
     def test_dp_step_with_refinement(self, mesh, xmem_params):
         cfg = dataclasses.replace(
             CFG, refinement=RefinementConfig(use_refinement=True, min_region_area=5.0)

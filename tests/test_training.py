@@ -43,6 +43,7 @@ class TestLosses:
 
 
 class TestTrainStep:
+    @pytest.mark.slow
     def test_loss_decreases(self):
         cfg = FrameworkConfig(
             xmem=XMemConfig(key_dim=8, value_dim=16, hidden_dim=4, max_objects=2),

@@ -13,7 +13,14 @@ Reference: inpainter/model/modules/ —
 TPU notes: the mmcv CUDA deformable conv becomes a gather-based bilinear
 sampler + one big matmul (exact same math); unfold/fold become
 conv_general_dilated_patches and a 49-way strided scatter-add; everything is
-static-shape and jittable. Param names mirror the torch checkpoints."""
+static-shape and jittable. Param names mirror the torch checkpoints.
+
+The temporal focal window attention stays on the XLA path BY MEASUREMENT,
+not omission: its windows are (T×5×9 = 180 tokens) — even smaller than SAM's
+14×14=196-token windows, where the per-(window, head) Pallas grid measured
+SLOWER than XLA's batched einsum on v5e (3.4 vs 4.1 ms/block; see
+models/sam/image_encoder.py:_block and BASELINE.md). XLA fuses the small
+score tensors in VMEM already; a kernel would only add grid overhead."""
 
 from __future__ import annotations
 
