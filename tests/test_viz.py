@@ -89,3 +89,30 @@ class TestInnerDumps:
         d = tmp_path / "inner"
         assert (d / "xmem_masks" / "00001.png").exists()
         assert (d / "refinement_masks" / "00002.png").exists()
+
+
+class TestDebugPlots:
+    def test_plot_helpers_write_files(self, tmp_path, rng):
+        from vosesam_tpu.viz.debug_plots import (
+            print_by_objects, print_image_bbox, save_masks_side_by_side,
+        )
+
+        img = rng.integers(0, 255, (32, 48, 3), np.uint8)
+        p1 = str(tmp_path / "bbox.png")
+        print_image_bbox(
+            img, [(4, 4, 20, 20)],
+            pos_points=[np.array([[10.0, 10.0]])],
+            neg_points=[np.array([[30.0, 8.0]])],
+            save_path=p1,
+        )
+        masks = np.zeros((2, 32, 48))
+        masks[0, 8:20, 8:24] = 1
+        coords = np.zeros((2, 4, 2)); coords[0, 0] = [12, 12]
+        labels = np.full((2, 4), -1); labels[0, 0] = 1
+        p2 = str(tmp_path / "objs.png")
+        print_by_objects(masks, coords, labels,
+                         obj_valid=np.array([True, False]), save_path=p2)
+        p3 = str(tmp_path / "sbs.png")
+        save_masks_side_by_side(masks[0], masks[0], p3)
+        for p in (p1, p2, p3):
+            assert os.path.getsize(p) > 0
