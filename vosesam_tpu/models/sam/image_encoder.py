@@ -192,11 +192,13 @@ def _block(x: jax.Array, p: Params, heads: int, window: int,
     shortcut = x
     y = layer_norm(x, p["norm1"])
     if window > 0:
-        # Windowed attention stays on the XLA path: the (nW·B, 196, 196)
-        # score tensors are small enough to live in VMEM post-fusion, and the
-        # per-(window, head) Pallas grid's tiny matmuls measured SLOWER than
-        # XLA's batched einsum on v5e (3.4 vs 4.1 ms/block). Flash pays off
-        # only for the global blocks' 4096-token attention (9.6 vs 13.8 ms).
+        # Windowed attention stays on the XLA path. Verified in-situ (not
+        # just per-dispatch microbench): flipping this to the per-(window,
+        # head) Pallas kernel inside the full chunked vit_h pipeline measured
+        # 5.75 fps vs 6.46 fps XLA (track_chunk K=4, 480p) — the kernel's
+        # 400 tiny (196x80) matmul instances per frame-block underutilize
+        # the MXU more than the XLA path's score materialization costs.
+        # Flash pays off only for the global blocks' 4096-token attention.
         y, pad_hw = _window_partition(y, window)
         y = _attention(y, p["attn"], heads, (window, window),
                        use_flash=False)
