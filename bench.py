@@ -17,6 +17,11 @@ Env knobs:
                                           encode+refine across K frames —
                                           bit-equal to per-frame, proven by
                                           tests/test_chunked.py)
+  BENCH_WIN_IMPL xla|pallas|pallas_mh    (default xla — windowed-attention
+                                          impl A/B knob, see
+                                          SAMConfig.windowed_attention_impl)
+  BENCH_FLASH    1|0                     (default 1 — Pallas flash kernel for
+                                          the ViT global-attention blocks)
 """
 
 from __future__ import annotations
@@ -58,7 +63,11 @@ def main() -> None:
 
     cfg = FrameworkConfig(
         xmem=XMemConfig(max_objects=3),
-        sam=SAMConfig(model_type=sam_type, hq=hq),
+        sam=SAMConfig(model_type=sam_type, hq=hq,
+                      use_flash_attention=os.environ.get("BENCH_FLASH",
+                                                         "1") == "1",
+                      windowed_attention_impl=os.environ.get(
+                          "BENCH_WIN_IMPL", "xla")),
         refinement=RefinementConfig(use_refinement=refine, mode="both_neg",
                                     optimized=True),
         dtype="bfloat16",

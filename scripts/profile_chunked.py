@@ -93,35 +93,39 @@ def main():
     for k in chunk_sizes:
         fbatch = jnp.stack([frame] * k)
 
-        enc = jax.jit(jax.vmap(
-            lambda f: predictor.encode_image(sam_params, f, cfg.sam)))
-        ms = timeit(lambda: enc(fbatch))
+        # NOTE: params must be jit ARGUMENTS — closing over them inlines
+        # ~1.3 GB of constants into the HLO, which the remote-compile tunnel
+        # cannot digest (observed 30+ min hangs / dropped jobs).
+        enc = jax.jit(lambda sp, fb: jax.vmap(
+            lambda f: predictor.encode_image(sp, f, cfg.sam))(fb))
+        ms = timeit(lambda: enc(sam_params, fbatch))
         print(f"K={k:2d} batched encode: {ms:8.2f} ms  ({ms / k:7.2f} ms/frame)")
 
         @jax.jit
-        def xscan(st, fb):
+        def xscan(xp, st, fb):
             def step(s, f):
-                s, prob, logits = core.step(xmem_params, s, f, cfg)
+                s, prob, logits = core.step(xp, s, f, cfg)
                 m, idx = masks_from_prob(prob, cfg.xmem.max_objects)
                 sc = xmem_object_scores(prob[1:])
                 return s, (m, logits[1:], sc, idx, s.memory.obj_valid)
             return jax.lax.scan(step, st, fb)
 
-        st1, (masks_k, lg_k, sc_k, idx_k, ov_k) = xscan(state0, fbatch)
-        ms = timeit(lambda: xscan(state0, fbatch))
+        st1, (masks_k, lg_k, sc_k, idx_k, ov_k) = xscan(
+            xmem_params, state0, fbatch)
+        ms = timeit(lambda: xscan(xmem_params, state0, fbatch))
         print(f"K={k:2d} xmem scan:      {ms:8.2f} ms  ({ms / k:7.2f} ms/frame)")
 
-        emb = enc(fbatch)
+        emb = enc(sam_params, fbatch)
 
         @jax.jit
-        def refine(emb, masks_k, lg_k, sc_k, ov_k):
+        def refine(sp, emb, masks_k, lg_k, sc_k, ov_k):
             def one(e, m, lg, sc, ov):
-                res = refine_masks(sam_params, e, m, lg, sc, ov, cfg)
+                res = refine_masks(sp, e, m, lg, sc, ov, cfg)
                 return res.indexed, res.scores
             return jax.vmap(one)(emb, masks_k, lg_k, sc_k, ov_k)
 
-        out = refine(emb, masks_k, lg_k, sc_k, ov_k)
-        ms = timeit(lambda: refine(emb, masks_k, lg_k, sc_k, ov_k))
+        out = refine(sam_params, emb, masks_k, lg_k, sc_k, ov_k)
+        ms = timeit(lambda: refine(sam_params, emb, masks_k, lg_k, sc_k, ov_k))
         print(f"K={k:2d} batched refine: {ms:8.2f} ms  ({ms / k:7.2f} ms/frame)")
 
         full = lambda: track_chunk(xmem_params, sam_params, state0, fbatch, cfg)

@@ -64,8 +64,10 @@ def main():
             dtype="bfloat16",
         )
         sam_params = predictor.sam_init(jax.random.PRNGKey(1), cfg.sam, dtype=jnp.bfloat16)
-        enc = jax.jit(lambda f: predictor.encode_image(sam_params, f, cfg.sam))
-        ms = timeit(lambda: enc(frame))
+        # params as jit args (closed-over params inline ~1.3 GB of HLO
+        # constants, which hangs the remote-compile tunnel)
+        enc = jax.jit(lambda sp, f: predictor.encode_image(sp, f, cfg.sam))
+        ms = timeit(lambda: enc(sam_params, frame))
         print(f"encode {sam_type} flash={flash}: {ms:8.2f} ms")
         if not flash:
             break  # keep the flash sam_params/cfg for the rest
@@ -89,25 +91,27 @@ def main():
 
     # XMem step alone
     @jax.jit
-    def xstep(st, f):
-        st, prob, logits = core.step(xmem_params, st, f, cfg)
+    def xstep(xp, st, f):
+        st, prob, logits = core.step(xp, st, f, cfg)
         return st, prob, logits
 
-    st2, prob, logits = xstep(state, frame)
-    ms = timeit(lambda: xstep(state, frame))
+    st2, prob, logits = xstep(xmem_params, state, frame)
+    ms = timeit(lambda: xstep(xmem_params, state, frame))
     print(f"xmem step:            {ms:8.2f} ms")
 
     # refinement alone, embedding precomputed
-    emb = jax.jit(lambda f: predictor.encode_image(sam_params, f, cfg.sam))(frame)
+    emb = jax.jit(
+        lambda sp, f: predictor.encode_image(sp, f, cfg.sam))(sam_params, frame)
 
     @jax.jit
-    def refine(emb, prob, logits, ov):
+    def refine(sp, emb, prob, logits, ov):
         masks, indexed = masks_from_prob(prob, cfg.xmem.max_objects)
         scores = xmem_object_scores(prob[1:])
-        return refine_masks(sam_params, emb, masks, logits[1:], scores, ov, cfg)
+        return refine_masks(sp, emb, masks, logits[1:], scores, ov, cfg)
 
-    out = refine(emb, prob, logits, state.memory.obj_valid)
-    ms = timeit(lambda: refine(emb, prob, logits, state.memory.obj_valid))
+    out = refine(sam_params, emb, prob, logits, state.memory.obj_valid)
+    ms = timeit(lambda: refine(
+        sam_params, emb, prob, logits, state.memory.obj_valid))
     print(f"refine (no encode):   {ms:8.2f} ms")
 
     # full frame

@@ -65,3 +65,42 @@ def test_encoder_flash_path_matches_xla_path(rng):
     a = image_encoder.vit_encode(params, x, cfg_flash)
     b = image_encoder.vit_encode(params, x, cfg_xla)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3)
+
+
+def test_window_kernel_mh_matches_xla(rng):
+    from vosesam_tpu.ops.pallas.flash_attention import (
+        window_attention_relpos_mh,
+    )
+
+    w, heads, wh, ww, d = 3, 4, 5, 9, 80
+    t = wh * ww
+    q = jnp.asarray(rng.normal(size=(w, heads, t, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(w, heads, t, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(w, heads, t, d)).astype(np.float32))
+    bh = jnp.asarray(rng.normal(size=(w, heads, t, wh)).astype(np.float32))
+    bw = jnp.asarray(rng.normal(size=(w, heads, t, ww)).astype(np.float32))
+    got = window_attention_relpos_mh(q, k, v, bh, bw, (wh, ww), interpret=True)
+    want = jax.vmap(lambda *a: xla_reference(*a, (wh, ww)))(q, k, v, bh, bw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("impl", ["pallas", "pallas_mh"])
+def test_encoder_windowed_impl_matches_xla(rng, impl):
+    """vit_encode with the windowed Pallas kernels == the XLA windowed path."""
+    import dataclasses
+
+    from vosesam_tpu.config import SAMConfig
+    from vosesam_tpu.models.sam import image_encoder
+
+    cfg_xla = SAMConfig(
+        model_type="vit_b", image_size=256, window_size=7,
+        vit_dims=(("vit_b", 96, 2, 3, (1,)),), use_flash_attention=True,
+    )
+    cfg_pl = dataclasses.replace(cfg_xla, windowed_attention_impl=impl)
+    params = image_encoder.vit_init(jax.random.PRNGKey(0), cfg_xla)
+    x = jax.random.normal(jax.random.PRNGKey(1), (256, 256, 3))
+    a = image_encoder.vit_encode(params, x, cfg_xla)
+    b = image_encoder.vit_encode(params, x, cfg_pl)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-3, atol=2e-3)

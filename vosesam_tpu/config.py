@@ -121,6 +121,11 @@ class SAMConfig:
     )
     window_size: int = 14
     use_flash_attention: bool = True   # Pallas flash kernel for global blocks
+    # Windowed-attention implementation: "xla" (batched einsum — fastest
+    # measured in-situ at vit_h/480p, see models/sam/image_encoder.py),
+    # "pallas" (per-(window, head) fused kernel), or "pallas_mh"
+    # (per-window kernel, heads looped in-instance).
+    windowed_attention_impl: str = "xla"
     mask_threshold: float = 0.0
     max_points: int = 16               # static per-object prompt-point budget
     multimask_output: bool = False

@@ -143,12 +143,18 @@ def _attention(
         return linear(out, p["proj"]).reshape(b, h, w, c)
 
     if use_flash and b > 1:
-        # windowed path: one fused kernel instance per (window, head) —
-        # avoids (B*nw, heads, T, T) HBM materialization, which is what
-        # makes frame-batched encodes feasible.
-        from vosesam_tpu.ops.pallas.flash_attention import window_attention_relpos
+        # windowed path: fused kernel avoiding the (B*nw, heads, T, T) HBM
+        # materialization. "pallas" = one instance per (window, head);
+        # "pallas_mh" = one instance per window, heads looped in-kernel
+        # (16x fewer instances).
+        from vosesam_tpu.ops.pallas.flash_attention import (
+            window_attention_relpos,
+            window_attention_relpos_mh,
+        )
 
-        out = window_attention_relpos(
+        kernel_fn = (window_attention_relpos_mh if use_flash == "pallas_mh"
+                     else window_attention_relpos)
+        out = kernel_fn(
             q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
             v.transpose(0, 2, 1, 3), bias_h, bias_w, hw,
             interpret=jax.default_backend() != "tpu",
@@ -188,7 +194,7 @@ def _window_unpartition(x: jax.Array, wsz: int, pad_hw, hw):
 
 
 def _block(x: jax.Array, p: Params, heads: int, window: int,
-           use_flash: bool = False) -> jax.Array:
+           use_flash: bool = False, windowed_impl: str = "xla") -> jax.Array:
     shortcut = x
     y = layer_norm(x, p["norm1"])
     if window > 0:
@@ -199,9 +205,12 @@ def _block(x: jax.Array, p: Params, heads: int, window: int,
         # 400 tiny (196x80) matmul instances per frame-block underutilize
         # the MXU more than the XLA path's score materialization costs.
         # Flash pays off only for the global blocks' 4096-token attention.
+        # windowed_impl: "xla" | "pallas" | "pallas_mh" (config knob for
+        # in-situ A/B; default "xla" per the measurement above).
         y, pad_hw = _window_partition(y, window)
         y = _attention(y, p["attn"], heads, (window, window),
-                       use_flash=False)
+                       use_flash=False if windowed_impl == "xla"
+                       else windowed_impl)
         y = _window_unpartition(y, window, pad_hw, (x.shape[1], x.shape[2]))
     else:
         y = _attention(y, p["attn"], heads, (x.shape[1], x.shape[2]),
@@ -236,7 +245,8 @@ def vit_encode(
     for i in range(depth):
         window = 0 if i in global_idx else cfg.window_size
         y = _block(y, params["blocks"][str(i)], heads, window,
-                   use_flash=cfg.use_flash_attention)
+                   use_flash=cfg.use_flash_attention,
+                   windowed_impl=cfg.windowed_attention_impl)
         if return_interm and i in global_idx:
             interm.append(y[0])
 

@@ -172,6 +172,85 @@ def window_attention_relpos(
     return out[:, :, :t, :d]
 
 
+def _window_kernel_mh(q_ref, k_ref, v_ref, bh_ref, bw_ref, o_ref, *,
+                      tokens: int, wh: int, ww: int, scale: float,
+                      heads: int):
+    """One whole window per grid step, ALL heads in the instance.
+
+    vs _window_kernel's (window, head) grid: 16x fewer grid instances —
+    per-instance fixed overhead (DMA setup, control) was the dominant cost
+    of the per-head variant at vit_h sizes (400 instances/frame-block of
+    ~12 MFLOP each). Refs are (1, heads, Tpad, D)."""
+    tpad, d = q_ref.shape[2], q_ref.shape[3]
+
+    for h in range(heads):
+        q = q_ref[0, h].astype(jnp.float32) * scale
+        k = k_ref[0, h].astype(jnp.float32)
+        v = v_ref[0, h].astype(jnp.float32)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+
+        bh = bh_ref[0, h].astype(jnp.float32)
+        bw = bw_ref[0, h].astype(jnp.float32)
+        cols = [bh[:, r: r + 1] + bw for r in range(wh)]
+        bias = jnp.concatenate(cols, axis=1)
+        if tpad > tokens:
+            pad = jnp.full((tpad, tpad - tokens), NEG_INF, jnp.float32)
+            bias = jnp.concatenate([bias, pad], axis=1)
+        s = s + bias
+
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jnp.dot(p, v, preferred_element_type=jnp.float32) / jnp.maximum(
+            l, 1e-30)
+        o_ref[0, h] = o.astype(o_ref.dtype)
+
+
+def window_attention_relpos_mh(
+    q: jax.Array,        # (W, heads, T, D)
+    k: jax.Array,
+    v: jax.Array,
+    bias_h: jax.Array,   # (W, heads, T, wh)
+    bias_w: jax.Array,   # (W, heads, T, ww)
+    window_hw: Tuple[int, int],
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused windowed attention, one grid step per WINDOW (heads looped
+    in-kernel). Same math as window_attention_relpos."""
+    w, heads, t, d = q.shape
+    wh, ww = window_hw
+    assert t == wh * ww
+    scale = 1.0 / math.sqrt(d)
+    tpad = -(-t // 8) * 8
+    dp = -(-d // 128) * 128
+
+    def pad3(a, last):
+        return jnp.pad(a, ((0, 0), (0, 0), (0, tpad - t), (0, last - a.shape[-1])))
+
+    qp, kp, vp = pad3(q, dp), pad3(k, dp), pad3(v, dp)
+    bhp = pad3(bias_h, bias_h.shape[-1])
+    bwp = pad3(bias_w, bias_w.shape[-1])
+
+    kernel = functools.partial(
+        _window_kernel_mh, tokens=t, wh=wh, ww=ww, scale=scale, heads=heads
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(w,),
+        in_specs=[
+            pl.BlockSpec((1, heads, tpad, dp), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, heads, tpad, dp), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, heads, tpad, dp), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, heads, tpad, wh), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, heads, tpad, ww), lambda i: (i, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, heads, tpad, dp), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((w, heads, tpad, dp), q.dtype),
+        interpret=interpret,
+    )(qp, kp, vp, bhp, bwp)
+    return out[:, :, :t, :d]
+
+
 def flash_attention_relpos(
     q: jax.Array,        # (heads, N, D)
     k: jax.Array,        # (heads, N, D)
