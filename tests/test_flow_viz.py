@@ -68,11 +68,12 @@ class TestFlowCompletionLoss:
         from vosesam_tpu.models.e2fgvi import modules as M
 
         spy = M.spynet_init(jax.random.PRNGKey(0))
-        frames = jax.random.uniform(jax.random.PRNGKey(1), (3, 64, 64, 3))
-        gt = L._quarter_flows(spy, frames)
+        frames = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3))
+        gt = jax.jit(L._quarter_flows)(spy, frames)
         z = jnp.zeros_like(gt[0])
-        loss_at_gt = L.flow_completion_loss(spy, gt, frames)
-        loss_off = L.flow_completion_loss(spy, (z, z), frames)
+        loss_fn = jax.jit(L.flow_completion_loss)
+        loss_at_gt = loss_fn(spy, gt, frames)
+        loss_off = loss_fn(spy, (z, z), frames)
         assert float(loss_at_gt) == pytest.approx(0.0, abs=1e-6)
         assert float(loss_off) >= float(loss_at_gt)
         assert np.isfinite(float(loss_off))
@@ -85,7 +86,7 @@ class TestFlowCompletionLoss:
         frames = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3))
         shape = (1, 8, 8, 2)
         pred = (jnp.ones(shape), jnp.ones(shape))
-        g = jax.grad(
+        g = jax.jit(jax.grad(
             lambda p: L.flow_completion_loss(spy, p, frames)
-        )(pred)
+        ))(pred)
         assert all(np.isfinite(np.asarray(x)).all() for x in g)

@@ -41,6 +41,11 @@ def spectral_normalize(
     """W / sigma_max(W) with torch SpectralNorm semantics: the matrix is the
     (cout, rest) reshape of the OIHW-style weight; returns (w_sn, u, v)."""
     cout = weight.shape[-1]
+    # u/v are torch *buffers* (spectral_norm.py:8-160): power-iteration
+    # state, never differentiated — without this, the eval-mode
+    # `sigma = u @ (wm @ v)` would leak gradients into them.
+    u = jax.lax.stop_gradient(u)
+    v = jax.lax.stop_gradient(v)
     # torch reshapes weight_orig (cout, cin, kt, kh, kw) -> (cout, rest) with
     # rest ordered (cin, kt, kh, kw); replicate that ordering from THWIO.
     wm = jnp.transpose(weight, (4, 3, 0, 1, 2)).reshape(cout, -1)
