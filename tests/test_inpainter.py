@@ -77,7 +77,7 @@ class TestSPyNet:
         params = M.spynet_init(jax.random.PRNGKey(0))
         ref = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 96, 3))
         supp = jax.random.uniform(jax.random.PRNGKey(2), (2, 64, 96, 3))
-        flow = M.spynet_flow(params, ref, supp)
+        flow = jax.jit(M.spynet_flow)(params, ref, supp)
         assert flow.shape == (2, 64, 96, 2)
         assert np.isfinite(np.asarray(flow)).all()
 
@@ -103,7 +103,9 @@ class TestGenerator:
     def test_forward_shapes(self):
         params = G.generator_init(jax.random.PRNGKey(0), CFG)
         frames = jax.random.uniform(jax.random.PRNGKey(1), (5, 60, 108, 3)) * 2 - 1
-        out, (ff, fb) = G.generator_forward(params, frames, num_local=3, cfg=CFG)
+        fwd = jax.jit(lambda p, f: G.generator_forward(
+            p, f, num_local=3, cfg=CFG))
+        out, (ff, fb) = fwd(params, frames)
         assert out.shape == (5, 60, 108, 3)
         assert ff.shape == (2, 15, 27, 2)
         o = np.asarray(out)
