@@ -113,22 +113,31 @@ def main():
     check("fused_memory_read compiled parity (usage)", e_use < 1e-3,
           f"max_err={e_use:.2e}")
 
-    # microbenchmark at DAVIS-480p sizes
-    def timeit(fn, n=8):
-        out = fn()
-        np.asarray(jax.tree.leaves(out)[0])
+    # microbenchmark at DAVIS-480p sizes. Timed as N reads scanned inside
+    # ONE jit: per-dispatch timing on this tunneled chip folds in ~25 ms
+    # fixed latency + pipelining effects and once inverted the fused/XLA
+    # ordering entirely (BASELINE.md "dispatch-pipelining measurement").
+    def timeit(body, n=16):
+        @jax.jit
+        def run(qk_in):
+            def step(carry, _):
+                out = body(qk_in + carry.astype(qk_in.dtype) * 0)
+                lead = jax.tree.leaves(out)[0]
+                s = jnp.sum(lead.astype(jnp.float32)) * 1e-30
+                return carry + s.astype(jnp.float32), 0
+            c, _ = jax.lax.scan(step, jnp.float32(0), None, length=n)
+            return c
+        np.asarray(run(qk))
         t0 = time.perf_counter()
-        for _ in range(n):
-            out = fn()
-        np.asarray(jax.tree.leaves(out)[0])
+        np.asarray(run(qk))
         return (time.perf_counter() - t0) / n * 1e3
 
-    t_xla = timeit(jax.jit(lambda: read_memory_multiobject(
-        mk, ms, mv, qk, qe, kv, vv, K, return_usage=True)))
-    t_fused = timeit(jax.jit(lambda: fused_memory_read(
-        mk, ms, qk, qe, mv, kv[None] & vv, K, return_usage=True)))
-    t_approx = timeit(jax.jit(lambda: read_memory_multiobject(
-        mk, ms, mv, qk, qe, kv, vv, K, return_usage=True, approx=True)))
+    t_xla = timeit(lambda q: read_memory_multiobject(
+        mk, ms, mv, q, qe, kv, vv, K, return_usage=True))
+    t_fused = timeit(lambda q: fused_memory_read(
+        mk, ms, q, qe, mv, kv[None] & vv, K, return_usage=True))
+    t_approx = timeit(lambda q: read_memory_multiobject(
+        mk, ms, mv, q, qe, kv, vv, K, return_usage=True, approx=True))
     print(f"      memory-read O={O} Q={Q} M={M}: xla_exact={t_xla:.1f}ms "
           f"fused={t_fused:.1f}ms xla_approx={t_approx:.1f}ms", flush=True)
     check("fused read faster than XLA exact", t_fused < t_xla,

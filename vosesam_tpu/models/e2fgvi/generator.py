@@ -13,7 +13,15 @@ The temporal focal window attention (tfocal_transformer_hq.py:173-428) is
 realized TPU-first: window partition as reshape/transpose, the 4 diagonal
 rolled-key expansions with their static validity selection, and the fc-pooled
 focal level as one extra key group — one fused softmax over
-[window | rolled | pooled] keys."""
+[window | rolled | pooled] keys.
+
+Why focal attention stays XLA (no Pallas kernel): in-situ A/B of the
+analogous SAM windowed attention showed both Pallas window-kernel designs
+losing to XLA's batched einsum on this hardware class (BASELINE.md: 5.75 /
+5.90 vs 6.46 fps — small-window attention is dominated by per-instance
+overhead, not score-tensor HBM traffic), and the measured generator cost is
+46.6 ms/frame at the app's 240x432 inpaint setting (scripts/bench_inpaint.py)
+with the focal blocks a minority of it — a kernel would not pay for itself."""
 
 from __future__ import annotations
 
