@@ -171,16 +171,25 @@ def main():
     st, idx, lg, sc, _ = tracker.track_frame(params, None, state, frame, cfg,
                                              paint=False)
     np.asarray(idx)
+    # 60 propagation frames: with mem_every=5 and max_mid_term_frames=10
+    # this drives the working memory past capacity, so the jitted
+    # consolidation/potentiation + LT paths EXECUTE on the chip (8 frames
+    # never reached them; CPU CI covers them only at toy sizes)
     t0 = time.perf_counter()
-    for _ in range(8):
+    n_roll = 60
+    for _ in range(n_roll):
         st, idx, lg, sc, _ = tracker.track_frame(params, None, st, frame, cfg,
                                                  paint=False)
     labels = np.unique(np.asarray(idx))
-    dt = (time.perf_counter() - t0) / 8 * 1e3
+    dt = (time.perf_counter() - t0) / n_roll * 1e3
     sc = np.asarray(sc)
     check("480p frame step finite scores", np.isfinite(sc[:2]).all(), str(sc))
     check("480p frame step tracks objects", len(labels) > 1, str(labels))
-    print(f"      480p XMem-only step: {dt:.1f} ms/frame", flush=True)
+    lt_n = int(np.asarray(jnp.sum(st.memory.long.key_valid)))
+    check("long-term memory populated by 60-frame rollout", lt_n > 0,
+          f"lt slots: {lt_n}")
+    print(f"      480p XMem-only step over {n_roll} frames: {dt:.1f} ms/frame"
+          f" (long-term slots used: {lt_n})", flush=True)
 
     print(f"\n{'ALL PASS' if not FAILURES else 'FAILURES: ' + ', '.join(FAILURES)}")
     sys.exit(1 if FAILURES else 0)
