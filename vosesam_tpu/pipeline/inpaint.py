@@ -78,13 +78,19 @@ class Inpainter:
             self.params = load_e2fgvi_checkpoint(checkpoint)
         else:
             self.params = G.generator_init(jax.random.PRNGKey(0), cfg)
+        # ONE jit for all windows (num_local static): building a fresh
+        # jax.jit(partial(...)) per call would re-trace every window —
+        # the window loop calls this dozens of times per video.
+        self._fwd = jax.jit(
+            lambda p, f, nl: G.generator_forward(p, f, nl, self.cfg),
+            static_argnums=2,
+        )
 
     # ------------------------------------------------------------- core
 
     def _run_window(self, frames_np: np.ndarray, num_local: int) -> np.ndarray:
         """frames_np: (T, H, W, 3) float in [-1, 1] (already padded)."""
-        fn = partial(G.generator_forward, cfg=self.cfg, num_local=num_local)
-        out, _ = jax.jit(fn)(self.params, jnp.asarray(frames_np))
+        out, _ = self._fwd(self.params, jnp.asarray(frames_np), num_local)
         return np.asarray(out)
 
     def inpaint_efficient(
