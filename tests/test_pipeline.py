@@ -68,7 +68,10 @@ class TestGenerator:
         assert set(np.unique(masks[0])) <= {0, 3}
         assert (masks[0] == 3).sum() == (template() == 3).sum()
         assert painted[0].shape == (H, W, 3) and painted[0].dtype == np.uint8
-        assert len(scores[1]) == 2
+        # scores are per LIVE object (reference base_tracker.py:163-165):
+        # one object (label 3) -> one score, padded slots dropped
+        assert len(scores[1]) == 1
+        assert np.isfinite(scores[1]).all()
 
     def test_with_refinement(self):
         ta = TrackingAnything(cfg=tiny_cfg(True))

@@ -167,7 +167,14 @@ class Tracker:
         if self._inner_dir and first_frame_annotation is None:
             self._dump_inner(np.asarray(logits), indexed_np)
         final = self.mapper.remap_index_mask(indexed_np).astype(np.uint8)
-        return final, np.asarray(logits), np.asarray(painted), np.asarray(scores).tolist()
+        # Reference scores are per LIVE object (base_tracker.py:163-165),
+        # ordered by remapped slot; drop the padded slots (whose refinement
+        # score is -inf by construction, refinement.py).
+        scores_np = np.asarray(scores)
+        live_slots = sorted(self.mapper.remappings.values())
+        score_list = [float(scores_np[s - 1]) for s in live_slots] \
+            if live_slots else scores_np.tolist()
+        return final, np.asarray(logits), np.asarray(painted), score_list
 
     def _dump_inner(self, logits: np.ndarray, refined: np.ndarray) -> None:
         """base_tracker.py:80-89 debug artifacts. The pre-refinement XMem
