@@ -129,3 +129,27 @@ def test_parse_augment_defaults(monkeypatch):
     args = parse_augment()
     assert args.sam_model_type == "vit_h"
     assert args.port == 6080
+
+
+class TestGeneratorChunked:
+    @pytest.mark.parametrize("use_refinement", [False, True])
+    def test_matches_per_frame(self, use_refinement):
+        """Facade-level equivalence: chunked masks+scores == per-frame,
+        including the label remap and the non-multiple-of-chunk tail."""
+        frames = synthetic_video(6)   # 1 seed + 5 propagation (chunk 2 + tail)
+        ta1 = TrackingAnything(cfg=tiny_cfg(use_refinement))
+        masks_ref, _, _, scores_ref = ta1.generator(frames, template())
+
+        ta2 = TrackingAnything(cfg=tiny_cfg(use_refinement))
+        masks_c, scores_c = ta2.generator_chunked(frames, template(), chunk=2)
+
+        assert len(masks_c) == len(masks_ref) == 6
+        for a, b in zip(masks_ref, masks_c):
+            np.testing.assert_array_equal(a, b)
+        for sa, sb in zip(scores_ref, scores_c):
+            np.testing.assert_allclose(sa, sb, rtol=1e-5, atol=1e-5)
+
+    def test_requires_seeding(self):
+        ta = TrackingAnything(cfg=tiny_cfg(False))
+        with pytest.raises(RuntimeError):
+            ta.xmem.track_batch(synthetic_video(2))

@@ -167,14 +167,52 @@ class Tracker:
         if self._inner_dir and first_frame_annotation is None:
             self._dump_inner(np.asarray(logits), indexed_np)
         final = self.mapper.remap_index_mask(indexed_np).astype(np.uint8)
-        # Reference scores are per LIVE object (base_tracker.py:163-165),
-        # ordered by remapped slot; drop the padded slots (whose refinement
-        # score is -inf by construction, refinement.py).
-        scores_np = np.asarray(scores)
+        return (final, np.asarray(logits), np.asarray(painted),
+                self._live_scores(np.asarray(scores)))
+
+    def _live_scores(self, scores_np: np.ndarray) -> list:
+        """Reference scores are per LIVE object (base_tracker.py:163-165),
+        ordered by remapped slot; drop the padded slots (whose refinement
+        score is -inf by construction, refinement.py)."""
         live_slots = sorted(self.mapper.remappings.values())
-        score_list = [float(scores_np[s - 1]) for s in live_slots] \
-            if live_slots else scores_np.tolist()
-        return final, np.asarray(logits), np.asarray(painted), score_list
+        if not live_slots:
+            return scores_np.tolist()
+        return [float(scores_np[s - 1]) for s in live_slots]
+
+    def track_batch(self, frames, chunk: int = 4):
+        """Throughput path: propagate frames through inference/chunked.py —
+        XMem scanned over `chunk` frames, ONE batched SAM encode+refinement
+        — proven bit-equal to per-frame track (tests/test_chunked.py).
+
+        Must be seeded first (track(frame, annotation)). Only full chunks go
+        through the batched path; the remainder falls back to per-frame
+        stepping so padded duplicate frames never touch the memory state.
+        Returns (masks [(H, W) uint8 original labels...], scores [list...]).
+        """
+        from vosesam_tpu.inference.chunked import track_chunk
+
+        if self.state is None:
+            raise RuntimeError(
+                "track_batch needs a seeded tracker: call "
+                "track(frame, first_frame_annotation) first")
+        masks_out, scores_out = [], []
+        n_full = (len(frames) // chunk) * chunk
+        for i0 in range(0, n_full, chunk):
+            fb = jnp.asarray(np.stack(frames[i0:i0 + chunk]))
+            self.state, indexed, scores = track_chunk(
+                self.xmem_params, self.sam_params, self.state, fb, self.cfg
+            )
+            idx_np = np.asarray(indexed)
+            sc_np = np.asarray(scores)
+            for j in range(chunk):
+                masks_out.append(
+                    self.mapper.remap_index_mask(idx_np[j]).astype(np.uint8))
+                scores_out.append(self._live_scores(sc_np[j]))
+        for f in frames[n_full:]:
+            m, _lg, _p, s = self.track(f)
+            masks_out.append(m)
+            scores_out.append(s)
+        return masks_out, scores_out
 
     def _dump_inner(self, logits: np.ndarray, refined: np.ndarray) -> None:
         """base_tracker.py:80-89 debug artifacts. The pre-refinement XMem

@@ -113,6 +113,18 @@ class TrackingAnything:
             scores.append(s)
         return masks, logits, painted, scores
 
+    def generator_chunked(
+        self, images: Sequence[np.ndarray], template_mask: np.ndarray,
+        chunk: int = 4,
+    ) -> Tuple[List[np.ndarray], List[list]]:
+        """Throughput variant of generator(): frame 0 seeds per-frame, the
+        rest run through the chunked scan+batched-SAM path (bit-equal masks,
+        tests/test_chunked.py; the path behind the headline bench). Skips
+        logits/painted accumulation. Returns (masks, scores)."""
+        m0, _lg, _p, s0 = self.xmem.track(images[0], template_mask)
+        masks, scores = self.xmem.track_batch(list(images[1:]), chunk=chunk)
+        return [m0] + masks, [s0] + scores
+
 
 def parse_augment() -> argparse.Namespace:
     """track_anything.py:84-95."""
