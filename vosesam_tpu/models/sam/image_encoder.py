@@ -119,9 +119,11 @@ def _factorized_rel_pos_bias(
 
 def _attention(
     x: jax.Array, p: Params, heads: int, hw: Tuple[int, int],
-    use_flash: bool = False,
+    use_flash: bool = False, windowed_impl: str = "xla",
 ) -> jax.Array:
-    """x: (B, H, W, C) windowed or global tokens."""
+    """x: (B, H, W, C) windowed (b = num windows > 1) or global (b == 1)
+    tokens. `use_flash` gates the global-block flash kernel; `windowed_impl`
+    picks the windowed-path implementation ("xla" | "pallas" | "pallas_mh")."""
     b, h, w, c = x.shape
     hd = c // heads
     qkv = linear(x.reshape(b, h * w, c), p["qkv"]).reshape(b, h * w, 3, heads, hd)
@@ -142,7 +144,7 @@ def _attention(
         out = out.transpose(1, 0, 2).reshape(1, h * w, c)
         return linear(out, p["proj"]).reshape(b, h, w, c)
 
-    if use_flash and b > 1:
+    if b > 1 and windowed_impl != "xla":
         # windowed path: fused kernel avoiding the (B*nw, heads, T, T) HBM
         # materialization. "pallas" = one instance per (window, head);
         # "pallas_mh" = one instance per window, heads looped in-kernel
@@ -152,7 +154,7 @@ def _attention(
             window_attention_relpos_mh,
         )
 
-        kernel_fn = (window_attention_relpos_mh if use_flash == "pallas_mh"
+        kernel_fn = (window_attention_relpos_mh if windowed_impl == "pallas_mh"
                      else window_attention_relpos)
         out = kernel_fn(
             q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
@@ -209,8 +211,7 @@ def _block(x: jax.Array, p: Params, heads: int, window: int,
         # in-situ A/B; default "xla" per the measurement above).
         y, pad_hw = _window_partition(y, window)
         y = _attention(y, p["attn"], heads, (window, window),
-                       use_flash=False if windowed_impl == "xla"
-                       else windowed_impl)
+                       windowed_impl=windowed_impl)
         y = _window_unpartition(y, window, pad_hw, (x.shape[1], x.shape[2]))
     else:
         y = _attention(y, p["attn"], heads, (x.shape[1], x.shape[2]),
