@@ -103,38 +103,50 @@ def main() -> None:
             state, indexed, scores = track_chunk(
                 xmem_params, sam_params, state, fbatch, cfg
             )
-            return state, indexed
+            return state, indexed, scores
 
-        state_w, idx = step(state, 0)
+        state_w, idx, _ = step(state, 0)
         np.asarray(idx)
         state = state_w
+        # On-device finiteness accumulator: a NaN in ANY chunk's logits
+        # propagates through the running sum of scores and is caught at the
+        # final sync (a mid-run NaN must not pass silently — the round-1
+        # CBAM miscompile produced exactly that failure mode).
+        fin_acc = jnp.zeros((), jnp.float32)
         t0 = time.time()
         for i in range(n_frames // chunk):
-            state, idx = step(state, i)
+            state, idx, scores = step(state, i)
+            fin_acc = fin_acc + jnp.sum(
+                jnp.where(jnp.isneginf(scores), 0.0, scores).astype(jnp.float32))
         sync = np.asarray(idx)
         dt = time.time() - t0
         fps = n_frames / dt
         assert np.isfinite(sync).all()
+        assert np.isfinite(np.asarray(fin_acc)), "non-finite scores mid-run"
     else:
         def step(state, frame):
             state, indexed, logits, scores, _ = tracker.track_frame(
                 xmem_params, sam_params, state, frame, cfg, paint=False
             )
-            return state, indexed
+            return state, indexed, scores
 
         # warmup / compile (np.asarray forces a device->host sync; on the
         # axon tunnel block_until_ready does not reliably block)
-        state_w, idx = step(state, frames[1])
+        state_w, idx, _ = step(state, frames[1])
         np.asarray(idx)
         state = state_w
 
+        fin_acc = jnp.zeros((), jnp.float32)
         t0 = time.time()
         for i in range(n_frames):
-            state, idx = step(state, frames[(i + 2) % len(frames)])
+            state, idx, scores = step(state, frames[(i + 2) % len(frames)])
+            fin_acc = fin_acc + jnp.sum(
+                jnp.where(jnp.isneginf(scores), 0.0, scores).astype(jnp.float32))
         sync = np.asarray(idx)
         dt = time.time() - t0
         fps = n_frames / dt
         assert np.isfinite(np.asarray(sync)).all()
+        assert np.isfinite(np.asarray(fin_acc)), "non-finite scores mid-run"
 
     label = f"XMem+SAM{'-HQ' if hq else ''} {sam_type}" if refine else "XMem-only"
     print(json.dumps({

@@ -130,6 +130,15 @@ class SAMConfig:
     max_points: int = 16               # static per-object prompt-point budget
     multimask_output: bool = False
 
+    def __post_init__(self) -> None:
+        # A typo'd BENCH_WIN_IMPL must fail loudly, not silently select a
+        # kernel and corrupt an A/B measurement.
+        valid = ("xla", "pallas", "pallas_mh")
+        if self.windowed_attention_impl not in valid:
+            raise ValueError(
+                f"windowed_attention_impl {self.windowed_attention_impl!r} "
+                f"not in {valid}")
+
     def encoder_dims(self) -> Tuple[int, int, int, Tuple[int, ...]]:
         for name, d, depth, heads, glb in self.vit_dims:
             if name == self.model_type:

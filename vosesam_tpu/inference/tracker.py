@@ -168,15 +168,21 @@ class Tracker:
             self._dump_inner(np.asarray(logits), indexed_np)
         final = self.mapper.remap_index_mask(indexed_np).astype(np.uint8)
         return (final, np.asarray(logits), np.asarray(painted),
-                self._live_scores(np.asarray(scores)))
+                self._live_scores(np.asarray(scores), indexed_np))
 
-    def _live_scores(self, scores_np: np.ndarray) -> list:
-        """Reference scores are per LIVE object (base_tracker.py:163-165),
-        ordered by remapped slot; drop the padded slots (whose refinement
-        score is -inf by construction, refinement.py)."""
+    def _live_scores(self, scores_np: np.ndarray,
+                     indexed_np: Optional[np.ndarray] = None) -> list:
+        """Reference scores are per object PRESENT in the current frame's
+        mask (base_tracker.py:163-165: np.unique(out_mask)[1:]), ordered by
+        remapped slot; drop padded slots and objects that vanished from the
+        frame (whose refinement score is -inf by construction,
+        refinement.py)."""
         live_slots = sorted(self.mapper.remappings.values())
         if not live_slots:
             return scores_np.tolist()
+        if indexed_np is not None:
+            present = set(np.unique(indexed_np).tolist())
+            live_slots = [s for s in live_slots if s in present]
         return [float(scores_np[s - 1]) for s in live_slots]
 
     def track_batch(self, frames, chunk: int = 4):
@@ -207,7 +213,7 @@ class Tracker:
             for j in range(chunk):
                 masks_out.append(
                     self.mapper.remap_index_mask(idx_np[j]).astype(np.uint8))
-                scores_out.append(self._live_scores(sc_np[j]))
+                scores_out.append(self._live_scores(sc_np[j], idx_np[j]))
         for f in frames[n_full:]:
             m, _lg, _p, s = self.track(f)
             masks_out.append(m)

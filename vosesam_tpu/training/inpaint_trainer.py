@@ -48,6 +48,12 @@ class InpaintTrainState(NamedTuple):
     gen_opt: optax.OptState
     disc_opt: optax.OptState
     it: jax.Array
+    # Frozen pretrained SPyNet for flow-completion GT flows. The reference's
+    # FlowCompletionLoss holds its OWN SPyNet copy, frozen at the pretrained
+    # weights (flow_comp.py:15-17, loaded at :62) — it must NOT be the
+    # generator's live update_spynet, which trains via pred_flows and would
+    # let the GT target drift toward a degenerate pred==gt minimum.
+    spynet_frozen: Params
 
 
 def make_optimizer(tcfg: InpaintTrainConfig) -> optax.GradientTransformation:
@@ -55,12 +61,19 @@ def make_optimizer(tcfg: InpaintTrainConfig) -> optax.GradientTransformation:
 
 
 def init_train_state(
-    gen_params: Params, disc_params: Params, tcfg: InpaintTrainConfig
+    gen_params: Params, disc_params: Params, tcfg: InpaintTrainConfig,
+    spynet_frozen: Params | None = None,
 ) -> InpaintTrainState:
+    """`spynet_frozen` should be the pretrained SPyNet weights; defaults to a
+    snapshot of the generator's SPyNet at init (correct when gen was just
+    loaded from the pretrained checkpoint)."""
     opt = make_optimizer(tcfg)
+    if spynet_frozen is None:
+        spynet_frozen = jax.tree_util.tree_map(
+            jnp.copy, gen_params["update_spynet"])
     return InpaintTrainState(
         gen_params, disc_params, opt.init(gen_params), opt.init(disc_params),
-        jnp.int32(0),
+        jnp.int32(0), spynet_frozen,
     )
 
 
@@ -87,12 +100,11 @@ def train_step(
         comp = frames * (1.0 - masks) + pred * masks
         hole = _masked_l1(pred, frames, masks)
         valid = _masked_l1(pred, frames, 1.0 - masks)
-        # GT flows from the generator's own SPyNet treated as fixed
-        # (flow_comp.py:14-17 freezes its SPyNet copy); frames mapped to
-        # [0, 1] as in forward_bidirect_flow
-        fixed_spy = jax.lax.stop_gradient(gen_params["update_spynet"])
+        # GT flows from the FROZEN pretrained SPyNet in the train state
+        # (flow_comp.py:15-17 — a separate frozen copy, never the live
+        # update_spynet); frames mapped to [0, 1] as in forward_bidirect_flow
         flow = flow_completion_loss(
-            fixed_spy, pred_flows, (frames[:num_local] + 1.0) / 2.0)
+            state.spynet_frozen, pred_flows, (frames[:num_local] + 1.0) / 2.0)
         d_fake, _ = D.discriminator_forward(state.disc, comp[None])
         adv = -jnp.mean(d_fake)       # hinge generator term
         total = (tcfg.hole_weight * hole + tcfg.valid_weight * valid
@@ -108,9 +120,15 @@ def train_step(
     comp = aux.pop("comp")
 
     def disc_loss_fn(disc_params):
+        # torch spectral_norm runs one power iteration on EVERY train-mode
+        # forward; thread the updated u/v from the real pass into the fake
+        # pass (and iterate there too) to match that cadence — u/v are
+        # stop-gradient buffers, weights in new_disc alias disc_params, so
+        # gradient flow is unchanged.
         d_real, new_disc = D.discriminator_forward(
             disc_params, frames[None], update_sn=True)
-        d_fake, _ = D.discriminator_forward(disc_params, comp[None])
+        d_fake, new_disc = D.discriminator_forward(
+            new_disc, comp[None], update_sn=True)
         real = jnp.mean(jax.nn.relu(1.0 - d_real))
         fake = jnp.mean(jax.nn.relu(1.0 + d_fake))
         return (real + fake) / 2.0, (real, fake, new_disc)
@@ -129,6 +147,7 @@ def train_step(
         "disc_fake": d_fake_l,
     })
     return (
-        InpaintTrainState(new_gen, new_disc, gen_opt, disc_opt, state.it + 1),
+        InpaintTrainState(new_gen, new_disc, gen_opt, disc_opt, state.it + 1,
+                          state.spynet_frozen),
         metrics,
     )
