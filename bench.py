@@ -17,11 +17,17 @@ Env knobs:
                                           encode+refine across K frames —
                                           bit-equal to per-frame, proven by
                                           tests/test_chunked.py)
-  BENCH_WIN_IMPL xla|pallas|pallas_mh    (default xla — windowed-attention
-                                          impl A/B knob, see
+  BENCH_WIN_IMPL xla|xla_fused_bias|pallas|pallas_mh
+                                         (default xla_fused_bias — windowed-
+                                          attention impl A/B knob, see
                                           SAMConfig.windowed_attention_impl)
   BENCH_FLASH    1|0                     (default 1 — Pallas flash kernel for
                                           the ViT global-attention blocks)
+  BENCH_RECT     1|0                     (default 1 — rectangular SAM encode:
+                                          576x1024 model input for 480p
+                                          instead of the official 1024
+                                          square; ~44% fewer encoder tokens.
+                                          0 = official square encode.)
 """
 
 from __future__ import annotations
@@ -67,7 +73,8 @@ def main() -> None:
                       use_flash_attention=os.environ.get("BENCH_FLASH",
                                                          "1") == "1",
                       windowed_attention_impl=os.environ.get(
-                          "BENCH_WIN_IMPL", "xla")),
+                          "BENCH_WIN_IMPL", "xla_fused_bias"),
+                      encode_rect=os.environ.get("BENCH_RECT", "1") == "1"),
         refinement=RefinementConfig(use_refinement=refine, mode="both_neg",
                                     optimized=True),
         dtype="bfloat16",

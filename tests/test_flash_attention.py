@@ -85,9 +85,10 @@ def test_window_kernel_mh_matches_xla(rng):
                                rtol=2e-3, atol=2e-3)
 
 
-@pytest.mark.parametrize("impl", ["pallas", "pallas_mh"])
+@pytest.mark.parametrize("impl", ["pallas", "pallas_mh", "xla_fused_bias"])
 def test_encoder_windowed_impl_matches_xla(rng, impl):
-    """vit_encode with the windowed Pallas kernels == the XLA windowed path."""
+    """vit_encode with the alternate windowed impls (Pallas kernels, bias
+    folded into the QK matmul) == the plain XLA windowed path."""
     import dataclasses
 
     from vosesam_tpu.config import SAMConfig
@@ -96,6 +97,7 @@ def test_encoder_windowed_impl_matches_xla(rng, impl):
     cfg_xla = SAMConfig(
         model_type="vit_b", image_size=256, window_size=7,
         vit_dims=(("vit_b", 96, 2, 3, (1,)),), use_flash_attention=True,
+        windowed_attention_impl="xla",
     )
     cfg_pl = dataclasses.replace(cfg_xla, windowed_attention_impl=impl)
     params = image_encoder.vit_init(jax.random.PRNGKey(0), cfg_xla)

@@ -121,11 +121,22 @@ class SAMConfig:
     )
     window_size: int = 14
     use_flash_attention: bool = True   # Pallas flash kernel for global blocks
-    # Windowed-attention implementation: "xla" (batched einsum — fastest
-    # measured in-situ at vit_h/480p, see models/sam/image_encoder.py),
-    # "pallas" (per-(window, head) fused kernel), or "pallas_mh"
-    # (per-window kernel, heads looped in-instance).
-    windowed_attention_impl: str = "xla"
+    # Windowed-attention implementation:
+    #   "xla"            batched einsum + broadcast bias add
+    #   "xla_fused_bias" bias folded into the QK matmul via one-hot lanes
+    #                    (fastest measured on-chip, scripts/exp_encoder_opt.py)
+    #   "pallas"         per-(window, head) fused kernel (measured slower)
+    #   "pallas_mh"      per-window kernel, heads looped in-instance
+    windowed_attention_impl: str = "xla_fused_bias"
+    # Rectangular encode (TPU fast path): pad the model input only to the
+    # next patch multiple per side instead of the official 1024x1024 square
+    # (segment_anything ResizeLongestSide pads to square; consumed at
+    # tools/base_segmenter.py:31-40). For DAVIS-480p this encodes 36x64
+    # tokens instead of 64x64 — a ~44% FLOP cut in the pipeline's hottest
+    # op. Approximate vs the square encode (pad tokens no longer participate
+    # in attention; pos/rel-pos tables are cropped to the sub-grid);
+    # tests/test_rect_encode.py bounds the mask delta.
+    encode_rect: bool = False
     mask_threshold: float = 0.0
     max_points: int = 16               # static per-object prompt-point budget
     multimask_output: bool = False
@@ -133,7 +144,7 @@ class SAMConfig:
     def __post_init__(self) -> None:
         # A typo'd BENCH_WIN_IMPL must fail loudly, not silently select a
         # kernel and corrupt an A/B measurement.
-        valid = ("xla", "pallas", "pallas_mh")
+        valid = ("xla", "xla_fused_bias", "pallas", "pallas_mh")
         if self.windowed_attention_impl not in valid:
             raise ValueError(
                 f"windowed_attention_impl {self.windowed_attention_impl!r} "

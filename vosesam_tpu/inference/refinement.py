@@ -50,10 +50,11 @@ def refine_masks(
     pack = prompt_ops.build_prompt_pack(rcfg.mode, xmem_masks, obj_valid, rcfg)
 
     if pack.use_mask:
-        # SAM's mask prompt is 4x the embedding grid (256 for the 1024 input).
-        prompt_size = scfg.image_size // 4
+        # SAM's mask prompt is 4x the embedding grid (256x256 for the 1024
+        # square input; e.g. 144x256 under encode_rect).
+        prompt_hw = (emb.embedding.shape[0] * 4, emb.embedding.shape[1] * 4)
         mask_prompts = jax.vmap(
-            lambda lg: resize_mask_prompt(lg, prompt_size)
+            lambda lg: resize_mask_prompt(lg, prompt_hw)
         )(xmem_logits)
     else:
         mask_prompts = None

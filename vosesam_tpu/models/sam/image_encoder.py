@@ -79,13 +79,25 @@ def vit_init(key, cfg: SAMConfig, dtype=jnp.float32) -> Params:
 # ------------------------------------------------------------------ attention
 
 def _get_rel_pos(q_size: int, k_size: int, rel_pos: jax.Array) -> jax.Array:
-    """Interpolate + gather relative position embeddings (official
-    get_rel_pos semantics)."""
+    """Gather relative position embeddings (official get_rel_pos semantics,
+    with one fidelity improvement for sub-grids).
+
+    When the table is LARGER than needed and q_size == k_size (the
+    encode_rect case: a 36-row grid against the 127-entry table trained for
+    the 64-row square), the relative offsets mean exactly the same thing —
+    so the center crop of the table gives the EXACT trained embedding per
+    offset, where the official interpolation would squeeze the whole
+    +-63-offset range into +-35 and misassign every offset. Interpolation is
+    kept for the remaining (cross-resolution) cases."""
     max_rel_dist = 2 * max(q_size, k_size) - 1
     if rel_pos.shape[0] != max_rel_dist:
-        rel_pos = jax.image.resize(
-            rel_pos, (max_rel_dist, rel_pos.shape[1]), method="linear"
-        )
+        if q_size == k_size and rel_pos.shape[0] > max_rel_dist:
+            lo = (rel_pos.shape[0] - max_rel_dist) // 2
+            rel_pos = rel_pos[lo: lo + max_rel_dist]
+        else:
+            rel_pos = jax.image.resize(
+                rel_pos, (max_rel_dist, rel_pos.shape[1]), method="linear"
+            )
     q_coords = jnp.arange(q_size)[:, None] * max(k_size / q_size, 1.0)
     k_coords = jnp.arange(k_size)[None, :] * max(q_size / k_size, 1.0)
     rel = (q_coords - k_coords) + (k_size - 1) * max(q_size / k_size, 1.0)
@@ -144,6 +156,36 @@ def _attention(
         out = out.transpose(1, 0, 2).reshape(1, h * w, c)
         return linear(out, p["proj"]).reshape(b, h, w, c)
 
+    if b > 1 and windowed_impl == "xla_fused_bias":
+        # Fold the decomposed rel-pos bias INTO the QK matmul instead of a
+        # broadcast-add over the (b, heads, T, wh, ww) score tensor:
+        #   q' = [q*scale, bh_q, bw_q],  k' = [k, onehot_row(k), onehot_col(k)]
+        #   q'.k' = scale*q.k + bh[q, row(k)] + bw[q, col(k)]
+        # The one-hot lanes ride the same MXU pass (hd 80 -> 108 still pads
+        # to the same 128-lane tile, so the extra lanes are free), and the
+        # separate scale/add passes over the score tensor disappear.
+        # Measured on-chip (scripts/exp_encoder_opt.py, K=4 dependent scan):
+        # 40.6 ms vs 44.3 ms for the broadcast-add path per windowed block.
+        n = h * w
+        scale = 1.0 / math.sqrt(hd)
+        bh = bias_h.transpose(0, 2, 1, 3).astype(q.dtype)   # (b, N, heads, wh)
+        bw = bias_w.transpose(0, 2, 1, 3).astype(q.dtype)
+        qp = jnp.concatenate([q * scale, bh, bw], axis=-1)
+        rows = jnp.arange(n) // w
+        cols = jnp.arange(n) % w
+        erow = jax.nn.one_hot(rows, h, dtype=q.dtype)
+        ecol = jax.nn.one_hot(cols, w, dtype=q.dtype)
+        kp = jnp.concatenate([
+            k,
+            jnp.broadcast_to(erow[None, :, None, :], (b, n, heads, h)),
+            jnp.broadcast_to(ecol[None, :, None, :], (b, n, heads, w)),
+        ], axis=-1)
+        attn = jnp.einsum("bqnc,bknc->bnqk", qp, kp,
+                          preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bnqk,bknc->bqnc", attn, v).reshape(b, n, c)
+        return linear(out, p["proj"]).reshape(b, h, w, c)
+
     if b > 1 and windowed_impl != "xla":
         # windowed path: fused kernel avoiding the (B*nw, heads, T, T) HBM
         # materialization. "pallas" = one instance per (window, head);
@@ -200,15 +242,17 @@ def _block(x: jax.Array, p: Params, heads: int, window: int,
     shortcut = x
     y = layer_norm(x, p["norm1"])
     if window > 0:
-        # Windowed attention stays on the XLA path. Verified in-situ (not
-        # just per-dispatch microbench): flipping this to the per-(window,
-        # head) Pallas kernel inside the full chunked vit_h pipeline measured
-        # 5.75 fps vs 6.46 fps XLA (track_chunk K=4, 480p) — the kernel's
-        # 400 tiny (196x80) matmul instances per frame-block underutilize
-        # the MXU more than the XLA path's score materialization costs.
-        # Flash pays off only for the global blocks' 4096-token attention.
-        # windowed_impl: "xla" | "pallas" | "pallas_mh" (config knob for
-        # in-situ A/B; default "xla" per the measurement above).
+        # Windowed attention runs on XLA, with the rel-pos bias folded into
+        # the QK matmul ("xla_fused_bias", default — measured fastest at
+        # in-situ shapes, scripts/exp_encoder_opt.py: 40.6 vs 44.3 ms per
+        # K=4 block). The Pallas window kernels lose in-situ (5.75 / 5.90
+        # vs 6.46 fps): their 196x80 matmul instances underutilize the MXU
+        # more than the XLA score materialization costs. Flash pays off only
+        # for the global blocks' 4096-token attention. A window-major
+        # persistent layout (partition once per run of windowed blocks) was
+        # also measured and REJECTED: (100, 14, 14, 1280) activations are
+        # tile-hostile (14 pads to 16 sublanes on every op) — 66.4 vs
+        # 44.3 ms/block.
         y, pad_hw = _window_partition(y, window)
         y = _attention(y, p["attn"], heads, (window, window),
                        windowed_impl=windowed_impl)
@@ -239,7 +283,15 @@ def vit_encode(
                stride=cfg.patch_size, padding=0)
     pe = params["pos_embed"]
     if pe.shape[1] != y.shape[1] or pe.shape[2] != y.shape[2]:
-        pe = jax.image.resize(pe, (1, y.shape[1], y.shape[2], pe.shape[3]), "linear")
+        if pe.shape[1] >= y.shape[1] and pe.shape[2] >= y.shape[2]:
+            # Sub-grid (encode_rect): the real tokens of a rect input sit in
+            # the TOP-LEFT of the square grid, so the top-left crop of the
+            # trained pos embed is exactly what those tokens would have seen
+            # in the square encode.
+            pe = pe[:, : y.shape[1], : y.shape[2]]
+        else:
+            pe = jax.image.resize(
+                pe, (1, y.shape[1], y.shape[2], pe.shape[3]), "linear")
     y = y + pe.astype(y.dtype)
 
     interm = []

@@ -57,16 +57,20 @@ def sam_init(key, cfg: SAMConfig, dtype=jnp.float32) -> SamParams:
 
 
 def preprocess(img: jax.Array, cfg: SAMConfig) -> Tuple[jax.Array, Tuple[int, int]]:
-    """(H, W, 3) uint8/float RGB -> normalized, padded (S, S, 3)."""
+    """(H, W, 3) uint8/float RGB -> normalized, padded model input.
+
+    Official mode: (S, S, 3) square. encode_rect: each side padded only to
+    the next patch multiple (see SAMConfig.encode_rect)."""
     x = img.astype(jnp.float32)
     mean = jnp.asarray(SAM_PIXEL_MEAN, jnp.float32)
     std = jnp.asarray(SAM_PIXEL_STD, jnp.float32)
-    resized, input_hw = sam_input_resize(x, cfg.image_size)
+    resized, input_hw = sam_input_resize(
+        x, cfg.image_size, rect=cfg.encode_rect, patch=cfg.patch_size)
     # Normalize, then re-zero the padding (official pads after normalize).
     norm = (resized - mean) / std
     h, w = input_hw
-    yy = jnp.arange(cfg.image_size)[:, None]
-    xx = jnp.arange(cfg.image_size)[None, :]
+    yy = jnp.arange(resized.shape[0])[:, None]
+    xx = jnp.arange(resized.shape[1])[None, :]
     valid = (yy < h) & (xx < w)
     return jnp.where(valid[..., None], norm, 0.0), input_hw
 
@@ -111,8 +115,10 @@ def predict(
 ) -> SamPrediction:
     """One prompt-pack -> all mask tokens. Callers pick single/multi/HQ."""
     grid = emb.embedding.shape[:2]
+    model_hw = (grid[0] * cfg.patch_size, grid[1] * cfg.patch_size)
     pts = transform_coords(coords, emb.orig_hw, cfg)
-    sparse = prompt_encoder.encode_points(params.prompt_encoder, pts, labels, cfg)
+    sparse = prompt_encoder.encode_points(
+        params.prompt_encoder, pts, labels, cfg, input_hw=model_hw)
     if mask_input is not None:
         dense = prompt_encoder.encode_mask(params.prompt_encoder, mask_input)
     else:
@@ -132,15 +138,16 @@ def predict(
 
 
 def postprocess_masks(
-    low_res: jax.Array,           # (n, 256, 256)
+    low_res: jax.Array,           # (n, mh, mw) — model_input/4 logits
     input_hw: Tuple[int, int],
     orig_hw: Tuple[int, int],
     cfg: SAMConfig,
 ) -> jax.Array:
-    """Official Sam.postprocess_masks: upsample to the model square, crop the
-    un-padded region, resize to the original size."""
-    s = cfg.image_size
-    up = resize_bilinear(low_res, (s, s), axes=(-2, -1))
+    """Official Sam.postprocess_masks: upsample to the model input size (4x
+    the low-res grid — the 1024 square officially, the rect pad under
+    encode_rect), crop the un-padded region, resize to the original size."""
+    mh, mw = low_res.shape[-2] * 4, low_res.shape[-1] * 4
+    up = resize_bilinear(low_res, (mh, mw), axes=(-2, -1))
     up = up[..., : input_hw[0], : input_hw[1]]
     return resize_bilinear(up, orig_hw, axes=(-2, -1))
 
@@ -158,8 +165,10 @@ def predict_low_res(
     token first and upsample only that one — the refinement loop's hot path
     (one decode per object per frame)."""
     grid = emb.embedding.shape[:2]
+    model_hw = (grid[0] * cfg.patch_size, grid[1] * cfg.patch_size)
     pts = transform_coords(coords, emb.orig_hw, cfg)
-    sparse = prompt_encoder.encode_points(params.prompt_encoder, pts, labels, cfg)
+    sparse = prompt_encoder.encode_points(
+        params.prompt_encoder, pts, labels, cfg, input_hw=model_hw)
     if mask_input is not None:
         dense = prompt_encoder.encode_mask(params.prompt_encoder, mask_input)
     else:

@@ -76,10 +76,17 @@ def encode_points(
     coords: jax.Array,   # (P, 2) xy in the model's 1024-input pixel space
     labels: jax.Array,   # (P,) int32 in {-1, 0, 1, 2, 3}
     cfg: SAMConfig,
+    input_hw: Optional[Tuple[int, int]] = None,
 ) -> jax.Array:
-    """-> (P, 256) sparse prompt embeddings."""
+    """-> (P, 256) sparse prompt embeddings.
+
+    ``input_hw`` is the model input size the coords are normalized over
+    (official forward_with_coords divides x by W and y by H). Defaults to
+    the (image_size, image_size) square; rect-encode callers pass the padded
+    rect so point PE stays consistent with the dense grid PE."""
     g = params["pe_layer"]["positional_encoding_gaussian_matrix"]
-    pts = (coords + 0.5) / cfg.image_size
+    ih, iw = input_hw if input_hw is not None else (cfg.image_size, cfg.image_size)
+    pts = (coords + 0.5) / jnp.asarray([iw, ih], jnp.float32)
     pe = _pe_encode(pts, g)
     pe = jnp.where((labels == -1)[:, None], 0.0, pe)
     table = jnp.concatenate(

@@ -134,39 +134,59 @@ def resize_nearest(x: jax.Array, out_hw: Sequence[int], axes: Tuple[int, int] = 
     return jax.image.resize(x, shape, method="nearest")
 
 
-def resize_mask_prompt(logit: jax.Array, out_size: int = 256) -> jax.Array:
-    """Aspect-preserving resize of an (H, W) logit map into SAM's 256x256
-    mask-prompt format, bottom/right-padded with the map's minimum.
+def resize_mask_prompt(logit: jax.Array, out_size=256) -> jax.Array:
+    """Aspect-preserving resize of an (H, W) logit map into SAM's mask-prompt
+    format, bottom/right-padded with the map's minimum.
 
     Mirrors ``mask_resizer`` (tracker/base_tracker.py:214-229): the long side
-    is scaled to ``out_size``; padding uses min(logit) so padded area reads as
-    strongly-negative mask evidence.
+    is scaled to the prompt's long side; padding uses min(logit) so padded
+    area reads as strongly-negative mask evidence.
+
+    ``out_size`` is an int (square prompt, the official 256) or an
+    (out_h, out_w) pair (rectangular-encode mode: the prompt grid is 4x the
+    embedding grid, e.g. (144, 256) for a 576x1024 model input).
 
     Works under jit for static (H, W).
     """
     h, w = logit.shape
-    if h >= w:
-        nh, nw = out_size, max(1, int(round(w * out_size / h)))
+    if isinstance(out_size, int):
+        out_h = out_w = out_size
     else:
-        nh, nw = max(1, int(round(h * out_size / w))), out_size
+        out_h, out_w = out_size
+    scale = min(out_h / h, out_w / w)
+    nh = max(1, min(out_h, int(round(h * scale))))
+    nw = max(1, min(out_w, int(round(w * scale))))
     resized = jax.image.resize(logit, (nh, nw), method="linear")
     fill = jnp.min(logit)
-    out = jnp.full((out_size, out_size), fill, logit.dtype)
+    out = jnp.full((out_h, out_w), fill, logit.dtype)
     return jax.lax.dynamic_update_slice(out, resized, (0, 0))
 
 
-def sam_input_resize(img: jax.Array, target: int = 1024) -> Tuple[jax.Array, Tuple[int, int]]:
-    """Longest-side resize of an (H, W, C) image to SAM's square input with
+def sam_input_resize(
+    img: jax.Array, target: int = 1024, rect: bool = False, patch: int = 16,
+) -> Tuple[jax.Array, Tuple[int, int]]:
+    """Longest-side resize of an (H, W, C) image to SAM's model input with
     bottom/right zero padding (segment_anything ResizeLongestSide semantics).
 
-    Returns (padded target x target image, (nh, nw) pre-pad size). Static for
-    static input shapes.
+    rect=False (official): pad to the (target, target) square — for a 480p
+    frame ~44% of the encoded tokens are padding. rect=True (TPU fast path,
+    SAMConfig.encode_rect): pad each side only up to the next multiple of the
+    patch size (e.g. 576x1024 for 480x854), cutting the ViT encode's tokens
+    by the padding fraction; coordinates/scales are unchanged since the
+    content placement is identical (top-left).
+
+    Returns (padded image, (nh, nw) pre-pad size). Static for static input
+    shapes.
     """
     h, w = img.shape[:2]
     scale = target / max(h, w)
     nh, nw = int(round(h * scale)), int(round(w * scale))
     resized = resize_bilinear(img, (nh, nw), axes=(0, 1))
-    out = jnp.zeros((target, target) + img.shape[2:], resized.dtype)
+    if rect:
+        ph, pw = -(-nh // patch) * patch, -(-nw // patch) * patch
+    else:
+        ph = pw = target
+    out = jnp.zeros((ph, pw) + img.shape[2:], resized.dtype)
     out = jax.lax.dynamic_update_slice(out, resized, (0, 0) + (0,) * (img.ndim - 2))
     return out, (nh, nw)
 
