@@ -78,6 +78,40 @@ class TestMesh:
         assert {s.data.shape for s in lin2.addressable_shards} == {(64, 32)}
 
 
+class TestTensorParallelEquivalence:
+    def test_tp_vit_encode_matches_single_device(self):
+        """The megatron-style TP-sharded ViT encode must produce the SAME
+        numbers as the unsharded encode — real vit_b dims (768 wide, 12
+        blocks, 12 heads) at image_size 256, (4 data x 2 model) CPU mesh.
+        XLA inserts the all-reduces from the placements alone; only
+        reduction-order noise is tolerated."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from vosesam_tpu.models.sam import image_encoder
+
+        cfg = SAMConfig(model_type="vit_b", image_size=256,
+                        use_flash_attention=False,
+                        windowed_attention_impl="xla")
+        params = image_encoder.vit_init(jax.random.PRNGKey(2), cfg)
+        x = jax.random.normal(jax.random.PRNGKey(3), (256, 256, 3)) * 0.1
+
+        want = jax.jit(
+            lambda p, xx: image_encoder.vit_encode(p, xx, cfg))(params, x)
+
+        pcfg = ParallelConfig(model_parallel=2)
+        m = meshlib.make_mesh(pcfg)
+        sp = predictor.SamParams(params, {}, {})
+        sharded = meshlib.shard_sam_params_tp(sp, m, pcfg)
+
+        got = jax.jit(
+            lambda p, xx: image_encoder.vit_encode(p, xx, cfg),
+            out_shardings=NamedSharding(m, P()),
+        )(sharded.image_encoder, jax.device_put(x, NamedSharding(m, P())))
+
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
 class TestBatchedEvaluation:
     def test_dp_step_runs_and_matches_single(self, mesh, xmem_params):
         b = 8
