@@ -118,6 +118,56 @@ class TestDriver:
         ids = get_ref_index(0, [0, 1, 2], 30, -1, 10)
         assert ids == [10, 20]
 
+    def test_static_window_plan_constant_signature(self):
+        from vosesam_tpu.pipeline.inpaint import (
+            static_ref_budget, static_window_plan,
+        )
+
+        for t in (12, 28, 54, 99):
+            r = static_ref_budget(t, 5, 10)
+            sigs = set()
+            for f in range(0, t, 5):
+                ids, nl, n_valid, writes = static_window_plan(f, t, 5, 10, r)
+                sigs.add((len(ids), nl))
+                assert n_valid <= len(ids)
+                assert set(writes) <= set(ids[:nl])
+                # interior anchors carry exactly the reference's window
+                ref_nb = list(range(max(0, f - 5), min(t, f + 6)))
+                if len(ref_nb) == min(t, 11) and ids[:nl] == ref_nb:
+                    ref_refs = get_ref_index(f, ref_nb, t, -1, 10)
+                    assert ids[nl:nl + len(ref_refs)] == ref_refs
+            assert len(sigs) == 1, (t, sigs)
+
+    @pytest.mark.slow
+    def test_static_windows_match_variable_on_interior_frames(self):
+        """The static-shape window path (one jit signature) must reproduce
+        the variable-length reference path bit-for-near-bit on every frame
+        whose contributing windows are interior (masked pad frames carry
+        exactly zero attention weight)."""
+        import dataclasses
+
+        inp_var = Inpainter(cfg=dataclasses.replace(CFG, static_windows=False))
+        inp_st = Inpainter(cfg=dataclasses.replace(CFG, static_windows=True),
+                           params=inp_var.params)
+        rng = np.random.default_rng(3)
+        t = 28
+        frames = [rng.integers(0, 255, (60, 108, 3), np.uint8)
+                  for _ in range(t)]
+        masks = []
+        for _ in range(t):
+            m = np.zeros((60, 108), np.uint8)
+            m[20:35, 40:70] = 1
+            masks.append(m)
+        out_var = inp_var.inpaint_efficient(frames, masks, dilate_radius=2)
+        out_st = inp_st.inpaint_efficient(frames, masks, dilate_radius=2)
+        # anchors 0 and 25 are edge windows (extra clamped context by
+        # design); frames 6..19 are written only by interior anchors
+        for i in range(6, 20):
+            np.testing.assert_allclose(
+                out_st[i].astype(np.int32), out_var[i].astype(np.int32),
+                atol=1,
+                err_msg=f"frame {i}")
+
     @pytest.mark.slow
     def test_inpaint_small_video(self):
         inp = Inpainter(cfg=CFG)

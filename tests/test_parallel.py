@@ -164,6 +164,60 @@ class TestBatchedEvaluation:
         assert np.all(np.asarray(scores)[:, 1] == -np.inf)
 
 
+class TestShardedMemoryRollout:
+    @pytest.mark.slow
+    def test_100_frame_rollout_matches_single_device(self):
+        """ParallelConfig.memory_axis_shards=8 through the REAL inference
+        path (core.step, consolidation firing) over a >=100-frame synthetic
+        rollout == the single-device read, frame by frame."""
+        import dataclasses
+
+        from vosesam_tpu.inference import core
+
+        h, w = 64, 32   # LT(32) + work(3 frames x 8 tokens) = 56 slots, %8==0
+        base = FrameworkConfig(
+            xmem=XMemConfig(max_objects=2),
+            memory=MemoryConfig(
+                max_mid_term_frames=3, min_mid_term_frames=2,
+                max_long_term_elements=32, num_prototypes=4, top_k=4,
+                mem_every=2, fused_read=False,
+            ),
+            refinement=RefinementConfig(use_refinement=False),
+            dtype="float32",
+        )
+        sharded = dataclasses.replace(
+            base, parallel=ParallelConfig(memory_axis_shards=8))
+
+        xp = xnet.xmem_init(jax.random.PRNGKey(0), base.xmem)
+        r = np.random.default_rng(0)
+        noise = r.integers(0, 255, (4, h, w, 3), np.uint8)
+        mask = jnp.zeros((2, h, w)).at[0, 10:40, 8:24].set(1.0)
+        valid = jnp.asarray([True, False])
+
+        outs = {}
+        for name, cfg in (("single", base), ("sharded", sharded)):
+            st = core.init_tracker_state(cfg, (h, w))
+            st, *_ = core.step_with_mask(
+                xp, st, jnp.asarray(noise[0]), mask, valid, cfg)
+            idx = []
+            for i in range(100):
+                fr = np.roll(noise[(i + 1) % 4], i % 16, axis=1)
+                st, prob, _ = core.step(xp, st, jnp.asarray(fr), cfg)
+                idx.append(np.asarray(jnp.argmax(prob, 0)))
+            assert int(st.memory.long.count) > 0, "LT consolidation not hit"
+            outs[name] = idx
+
+        agree = [
+            float((a == b).mean())
+            for a, b in zip(outs["single"], outs["sharded"])
+        ]
+        # fp reduction-order noise can flip borderline pixels late in a
+        # 100-frame recurrent rollout; demand near-identity throughout
+        assert min(agree) > 0.995, min(agree)
+        for a, b in zip(outs["single"][:20], outs["sharded"][:20]):
+            np.testing.assert_array_equal(a, b)
+
+
 class TestShardedMemoryRead:
     def test_matches_single_device(self, rng):
         """Memory-axis-sharded read over an 8-device CPU mesh == the

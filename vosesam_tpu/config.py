@@ -193,6 +193,15 @@ class InpainterConfig:
     num_subset_frames: int = 50
     num_external_ref: int = 2
     dilate_radius: int = 15            # base_inpainter.py:74-75
+    # Static-shape windows (TPU fast path): every window carries exactly
+    # min(t, 2*stride+1) neighbors (edge windows clamped inward — extra REAL
+    # context frames, not pads) and a fixed ref count, so the generator
+    # compiles ONCE per (subset length, resolution) instead of once per
+    # distinct neighbors+refs signature (the reference's variable windows,
+    # base_inpainter.py:123-128, retrace ~5-8x per subset). Interior windows
+    # are bit-identical to the variable path; edge windows see more context.
+    # Falls back to variable windows for clips shorter than ~4*stride+3.
+    static_windows: bool = True
     hidden_dim: int = 512
     num_blocks: int = 8
     num_heads: int = 4
@@ -208,6 +217,13 @@ class ParallelConfig:
     model_axis: str = "model"          # optional TP axis for SAM ViT-H
     data_parallel: int = -1            # -1: all devices
     model_parallel: int = 1
+    # Memory-axis sharding for the XMem read (parallel/memory_shard.py):
+    # 0/1 = off (single-device read); n>1 shards the LT+work memory tokens
+    # over the first n devices and reads via gather-exact-top-k + psum
+    # (EXACT — equivalence-tested in tests/test_parallel.py). For memories
+    # beyond one chip's HBM or latency-critical very-long rollouts.
+    memory_axis_shards: int = 0
+    memory_axis: str = "mem"
 
 
 @dataclasses.dataclass(frozen=True)

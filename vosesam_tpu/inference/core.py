@@ -63,7 +63,8 @@ def init_tracker_state(cfg: FrameworkConfig, frame_hw: Tuple[int, int]) -> Track
 
 def _encode_and_read(params, cfg, state, frame_p):
     key, shrinkage, selection, feats = xnet.encode_key(params, frame_p)
-    readout, mem = manager.match_memory(state.memory, key, selection, cfg.memory)
+    readout, mem = manager.match_memory(state.memory, key, selection,
+                                        cfg.memory, cfg.parallel)
     return key, shrinkage, selection, feats, readout, mem
 
 

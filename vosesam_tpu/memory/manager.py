@@ -28,7 +28,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from vosesam_tpu.config import MemoryConfig
+from vosesam_tpu.config import MemoryConfig, ParallelConfig
 from vosesam_tpu.memory.rings import LongTermMemory, MemoryState, WorkMemory
 from vosesam_tpu.ops.memory_attention import (
     get_similarity,
@@ -41,6 +41,7 @@ def match_memory(
     qk: jax.Array,   # (H16, W16, Ck)
     qe: Optional[jax.Array],  # (H16, W16, Ck) selection
     cfg: MemoryConfig,
+    pcfg: Optional[ParallelConfig] = None,
 ) -> Tuple[jax.Array, MemoryState]:
     """Read memory for all objects; returns ((O, H16, W16, Cv), new state)."""
     h16, w16, ck = qk.shape
@@ -58,7 +59,38 @@ def match_memory(
         mk, ms, mv, kv, vv = work.keys, work.shrinkage, work.values, work.key_valid(), work.value_valid
 
     # Objects with no values anywhere would soft-max over nothing; mask later.
-    if cfg.fused_read and not cfg.top_k_approx and cfg.top_k <= 32:
+    n_shards = pcfg.memory_axis_shards if pcfg is not None else 0
+    if n_shards > 1:
+        # Memory-axis-sharded exact read (ParallelConfig.memory_axis_shards):
+        # memory tokens split over the first n devices, queries replicated;
+        # candidate top-k gather + psum reduce (parallel/memory_shard.py).
+        import numpy as np
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        from vosesam_tpu.parallel.memory_shard import (
+            sharded_memory_read_local,
+        )
+        from functools import partial
+
+        assert mk.shape[0] % n_shards == 0, (
+            f"memory capacity {mk.shape[0]} not divisible by "
+            f"memory_axis_shards={n_shards}")
+        mesh = Mesh(np.asarray(jax.devices()[:n_shards]), (pcfg.memory_axis,))
+        fn = partial(sharded_memory_read_local, top_k=cfg.top_k,
+                     axis_name=pcfg.memory_axis)
+        ax = pcfg.memory_axis
+        # qe=None and qe=ones differ only by a per-query constant, which
+        # top-k selection and softmax are invariant to.
+        e_sm = e if e is not None else jnp.ones_like(q)
+        readout_flat, usage = shard_map(
+            fn, mesh=mesh,
+            in_specs=(P(ax, None), P(ax), P(None, None), P(None, None),
+                      P(None, ax, None), P(None, ax)),
+            out_specs=(P(None, None, None), P(ax)),
+            check_rep=False,
+        )(mk, ms, q, e_sm, mv, kv[None, :] & vv)
+    elif cfg.fused_read and not cfg.top_k_approx and cfg.top_k <= 32:
         from vosesam_tpu.ops.pallas.memory_read import fused_memory_read
 
         readout_flat, usage = fused_memory_read(

@@ -266,10 +266,17 @@ def focal_block_init(key, dtype=jnp.float32) -> Params:
 
 
 def focal_attention(p: Params, x: jax.Array, pooled: jax.Array,
-                    pooled_valid: jax.Array) -> jax.Array:
+                    pooled_valid: jax.Array,
+                    frame_valid: Optional[jax.Array] = None) -> jax.Array:
     """x: (T, H, W, C) padded to window multiples; pooled: (T, nWh, nWw, C);
     pooled_valid: (nWh, nWw) bool (False on padding). One fused softmax over
-    [window | rolled | pooled-context] keys per window."""
+    [window | rolled | pooled-context] keys per window.
+
+    `frame_valid` ((T,) bool, optional): frames marked False contribute NO
+    keys anywhere (additive -1e9 before the fp32 softmax -> exactly zero
+    weight), making a window padded with invalid frames bit-identical to
+    the unpadded computation for the valid frames — the static-shape
+    inpaint-window fast path (pipeline/inpaint.py)."""
     t, h, w, c = x.shape
     wh, ww = WINDOW
     hd = c // HEADS
@@ -342,6 +349,14 @@ def focal_attention(p: Params, x: jax.Array, pooled: jax.Array,
         [jnp.zeros((nw, wa + t * n_roll)),
          jnp.tile(pool_bias, (1, t))], axis=1)
     attn = attn + bias[:, None, None, :]
+    if frame_valid is not None:
+        fb = jnp.where(frame_valid, 0.0, -1e9).astype(jnp.float32)  # (T,)
+        frame_bias = jnp.concatenate([
+            jnp.repeat(fb, wh * ww),          # window keys, T-major
+            jnp.repeat(fb, n_roll),           # rolled keys, T-major
+            jnp.repeat(fb, k_pool.shape[2]),  # pooled keys, T-major
+        ])
+        attn = attn + frame_bias[None, None, None, :]
     attn = jax.nn.softmax(attn, axis=-1).astype(v_all.dtype)
     out = jnp.einsum("nhqk,nhkd->nhqd", attn, v_all)
     out = out.transpose(0, 2, 1, 3).reshape(nw, t, wh * ww, c)
@@ -349,7 +364,8 @@ def focal_attention(p: Params, x: jax.Array, pooled: jax.Array,
     return linear(out, p["attn"]["proj"])
 
 
-def focal_block_forward(p: Params, x: jax.Array, output_size: Tuple[int, int]) -> jax.Array:
+def focal_block_forward(p: Params, x: jax.Array, output_size: Tuple[int, int],
+                        frame_valid: Optional[jax.Array] = None) -> jax.Array:
     """TemporalFocalTransformerBlock (:430-530). x: (T, fh, fw, C)."""
     t, fh, fw, c = x.shape
     wh, ww = WINDOW
@@ -373,7 +389,7 @@ def focal_block_forward(p: Params, x: jax.Array, output_size: Tuple[int, int]) -
     # validity: windows fully inside the unpadded area count as valid pools
     valid = jnp.ones((nwh, nww), bool)
 
-    att = focal_attention(p, yp, pooled, valid)[:, :fh, :fw]
+    att = focal_attention(p, yp, pooled, valid, frame_valid)[:, :fh, :fw]
     x = shortcut + att
 
     y = layer_norm(x, p["norm2"])
@@ -414,9 +430,15 @@ def generator_forward(
     masked_frames: jax.Array,   # (T, H, W, 3) in [-1, 1]
     num_local: int,
     cfg: InpainterConfig,
+    frame_valid: Optional[jax.Array] = None,   # (T,) bool; pads False
 ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
     """e2fgvi_hq.py:235-263. Returns ((T, H, W, 3) tanh output,
-    (forward, backward) 1/4-res flows of the local frames)."""
+    (forward, backward) 1/4-res flows of the local frames).
+
+    `frame_valid` marks padded NON-LOCAL slots (static-window fast path):
+    they are excluded from every attention softmax, so valid frames'
+    outputs are bit-identical to running the unpadded window. All local
+    frames must be valid (they feed the flow/propagation path)."""
     t, h, w, _ = masked_frames.shape
     lt = num_local
 
@@ -450,7 +472,8 @@ def generator_forward(
     fw = (ew + 2 * PADDING[1] - KERNEL[1]) // STRIDE[1] + 1
     x = tokens.reshape(t, fh, fw, HIDDEN)
     for i in range(cfg.num_blocks):
-        x = focal_block_forward(params["transformer"][str(i)], x, (eh, ew))
+        x = focal_block_forward(params["transformer"][str(i)], x, (eh, ew),
+                                frame_valid=frame_valid)
     trans = M.soft_comp(
         params["sc"], x.reshape(t, fh * fw, HIDDEN), (eh, ew), KERNEL, STRIDE, PADDING
     )

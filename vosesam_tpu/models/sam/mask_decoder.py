@@ -95,17 +95,19 @@ def mask_decoder_init(key, cfg: SAMConfig, dtype=jnp.float32) -> Params:
             "1": ln_init(d // 4, dtype),
             "3": conv_init(ks[6], 2, 2, d // 4, d // 8, dtype=dtype),  # ConvT 64->32
         },
+        # Official MLP(dim, dim, out, num_layers=3): layers.0/1/2 — two
+        # hidden layers, not one (checkpoint keys ...layers.2.weight).
         "output_hypernetworks_mlps": {
-            str(i): _mlp_init(jax.random.fold_in(ks[7], i), (d, d, d // 8), dtype)
+            str(i): _mlp_init(jax.random.fold_in(ks[7], i), (d, d, d, d // 8), dtype)
             for i in range(NUM_MASK_TOKENS)
         },
-        "iou_prediction_head": _mlp_init(ks[8], (d, d, n_tokens), dtype),
+        "iou_prediction_head": _mlp_init(ks[8], (d, d, d, n_tokens), dtype),
     }
     if cfg.hq:
         vit_dim = cfg.encoder_dims()[0]
         p.update({
             "hf_token": {"weight": 0.02 * jax.random.normal(ks[9], (1, d), dtype)},
-            "hf_mlp": _mlp_init(jax.random.fold_in(ks[9], 1), (d, d, d // 8), dtype),
+            "hf_mlp": _mlp_init(jax.random.fold_in(ks[9], 1), (d, d, d, d // 8), dtype),
             "compress_vit_feat": {
                 "0": conv_init(jax.random.fold_in(ks[10], 0), 2, 2, vit_dim, d, dtype=dtype),
                 "1": ln_init(d, dtype),

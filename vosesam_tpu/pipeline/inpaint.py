@@ -47,6 +47,44 @@ def get_ref_index(f: int, neighbor_ids: List[int], length: int,
     return ref_index
 
 
+def static_window_plan(f: int, t: int, stride: int, step: int, r_static: int):
+    """Fixed-shape window plan for anchor `f` (InpainterConfig.static_windows).
+
+    Returns (ids, num_local, n_valid, write_ids) with len(ids) == num_local
+    + r_static and num_local == min(t, 2*stride+1), both constant across all
+    anchors of a t-frame subset, so ONE jit signature covers the whole video:
+      - neighbors: the 2*stride+1 window clamped INSIDE [0, t) — edge
+        windows slide inward and gain real context frames instead of
+        shrinking (interior anchors get exactly the reference's neighbors);
+      - refs: the reference's rule (stride-`step` frames outside the
+        neighbor set, base_inpainter.py:37-51), PADDED to `r_static` slots
+        with dummy frames that the generator masks out of every attention
+        softmax (frame_valid) — so a padded window's predictions are
+        bit-identical to the unpadded computation;
+      - write_ids: the REFERENCE'S neighbor set (base_inpainter.py:123-128)
+        — compositing/blending structure stays exactly reference-shaped.
+    """
+    n_nb = min(t, 2 * stride + 1)
+    start = min(max(0, f - stride), t - n_nb)
+    neighbor_ids = list(range(start, start + n_nb))
+    write_ids = list(range(max(0, f - stride), min(t, f + stride + 1)))
+    refs = [i for i in range(0, t, step) if i not in neighbor_ids]
+    n_valid = n_nb + len(refs)
+    ids = neighbor_ids + refs + [0] * (r_static - len(refs))
+    return ids, n_nb, n_valid, write_ids
+
+
+def static_ref_budget(t: int, stride: int, step: int) -> int:
+    """max_f len(refs) for the static plan — the padded ref-slot count."""
+    n_nb = min(t, 2 * stride + 1)
+    best = 0
+    for f in range(0, t, stride):
+        start = min(max(0, f - stride), t - n_nb)
+        nb = range(start, start + n_nb)
+        best = max(best, len([i for i in range(0, t, step) if i not in nb]))
+    return best
+
+
 def _flip_pad(x: np.ndarray, mod_h: int = 60, mod_w: int = 108) -> np.ndarray:
     """Pad H/W to the generator's module sizes by flip reflection
     (base_inpainter.py:149-158)."""
@@ -85,12 +123,23 @@ class Inpainter:
             lambda p, f, nl: G.generator_forward(p, f, nl, self.cfg),
             static_argnums=2,
         )
+        self._fwd_masked = jax.jit(
+            lambda p, f, nl, fv: G.generator_forward(
+                p, f, nl, self.cfg, frame_valid=fv),
+            static_argnums=2,
+        )
 
     # ------------------------------------------------------------- core
 
-    def _run_window(self, frames_np: np.ndarray, num_local: int) -> np.ndarray:
+    def _run_window(self, frames_np: np.ndarray, num_local: int,
+                    frame_valid: Optional[np.ndarray] = None) -> np.ndarray:
         """frames_np: (T, H, W, 3) float in [-1, 1] (already padded)."""
-        out, _ = self._fwd(self.params, jnp.asarray(frames_np), num_local)
+        if frame_valid is not None:
+            out, _ = self._fwd_masked(
+                self.params, jnp.asarray(frames_np), num_local,
+                jnp.asarray(frame_valid))
+        else:
+            out, _ = self._fwd(self.params, jnp.asarray(frames_np), num_local)
         return np.asarray(out)
 
     def inpaint_efficient(
@@ -137,21 +186,39 @@ class Inpainter:
         padded = _flip_pad(masked)
         comp_frames: List[Optional[np.ndarray]] = [None] * t
 
+        # static_windows: one jit signature for the whole subset (vs one per
+        # distinct neighbors+refs count on the variable path)
+        use_static = (
+            cfg.static_windows and cfg.num_ref == -1
+            and t > 2 * cfg.neighbor_stride + 1
+        )
+        r_static = (static_ref_budget(t, cfg.neighbor_stride, cfg.step)
+                    if use_static else 0)
+
         for f in range(0, t, cfg.neighbor_stride):
-            neighbor_ids = list(
-                range(max(0, f - cfg.neighbor_stride),
-                      min(t, f + cfg.neighbor_stride + 1))
-            )
-            ref_ids = get_ref_index(f, neighbor_ids, t, cfg.num_ref, cfg.step)
-            ids = neighbor_ids + ref_ids
+            if use_static:
+                ids, num_local, n_valid, write_ids = static_window_plan(
+                    f, t, cfg.neighbor_stride, cfg.step, r_static)
+                nb_start = ids[0]
+                valid = np.arange(len(ids)) < n_valid
+            else:
+                write_ids = list(
+                    range(max(0, f - cfg.neighbor_stride),
+                          min(t, f + cfg.neighbor_stride + 1))
+                )
+                ref_ids = get_ref_index(f, write_ids, t, cfg.num_ref, cfg.step)
+                ids = write_ids + ref_ids
+                num_local = len(write_ids)
+                nb_start = write_ids[0]
+                valid = None
             window = padded[ids]
-            pred = self._run_window(window, len(neighbor_ids))
+            pred = self._run_window(window, num_local, valid)
             pred = (pred[:, :h, :w] + 1.0) / 2.0 * 255.0
 
-            for i, idx in enumerate(neighbor_ids):
+            for idx in write_ids:
                 m = masks_np[idx][..., None]
                 img = np.asarray(frames[idx], np.float32)
-                comp = pred[i] * m + img * (1.0 - m)
+                comp = pred[idx - nb_start] * m + img * (1.0 - m)
                 if comp_frames[idx] is None:
                     comp_frames[idx] = comp
                 else:
