@@ -6,12 +6,23 @@ Prints ONE JSON line:
 vs_baseline is measured fps over the driver target of 20 fps/chip for the
 end-to-end XMem + SAM-HQ refinement loop at DAVIS-480p (BASELINE.md).
 
+Long-form by default (honest steady state): 64 measured frames of MOVING
+synthetic objects, so the run crosses the long-term consolidation boundary
+(work arena = max_mid_term_frames(10) x mem_every(5) = ~50 frames) and the
+benched loop includes LT consolidation, LT reads and near-capacity memory —
+asserted via `state.memory.long.count > 0` at the end. A per-stage table
+(encode / xmem scan / refine) prints before the JSON line.
+
 Env knobs:
   BENCH_SAM      vit_b | vit_l | vit_h   (default vit_h — the headline model)
   BENCH_HQ       1|0                     (default 1: SAM-HQ decoder)
-  BENCH_FRAMES   measured frames         (default 16)
+  BENCH_FRAMES   measured frames         (default 64; 16 = the quick smoke —
+                                          no consolidation in steady state)
   BENCH_REFINE   1|0                     (default 1)
-  BENCH_CHUNK    K                       (default 4 — the measured sweet spot;
+  BENCH_CHUNK    K                       (default 8 — the rect-encode sweep
+                                          optimum: 10.69 fps vs 10.31 @K=4,
+                                          9.74 @K=2; K=6 hits a pathological
+                                          XLA tiling (4.8 fps) — avoid.
                                           1 = per-frame stepping. K>1 scans
                                           XMem then batches the SAM
                                           encode+refine across K frames —
@@ -28,6 +39,8 @@ Env knobs:
                                           instead of the official 1024
                                           square; ~44% fewer encoder tokens.
                                           0 = official square encode.)
+  BENCH_STAGES   1|0                     (default 1 — per-stage table; extra
+                                          compiles on a cold cache)
 """
 
 from __future__ import annotations
@@ -40,6 +53,23 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
+
+
+def moving_frames(n: int, h: int, w: int, seed: int = 0) -> np.ndarray:
+    """n synthetic 480p frames with two objects translating over textured
+    noise — refinement sees real moving prompts, memory sees novel keys."""
+    r = np.random.default_rng(seed)
+    base = r.integers(0, 255, (h, w, 3), np.uint8)
+    out = np.empty((n, h, w, 3), np.uint8)
+    for i in range(n):
+        f = base.copy()
+        y0 = 100 + 2 * i
+        x0 = (150 + 5 * i) % (w - 360)
+        f[y0:y0 + 220, x0:x0 + 350] = (220, 60, 60)
+        y1 = (50 + 3 * i) % (h - 110)
+        f[y1:y1 + 100, 600:750] = (60, 200, 220)
+        out[i] = f
+    return out
 
 
 def main() -> None:
@@ -63,9 +93,10 @@ def main() -> None:
 
     sam_type = os.environ.get("BENCH_SAM", "vit_h")
     hq = os.environ.get("BENCH_HQ", "1") == "1"
-    n_frames = int(os.environ.get("BENCH_FRAMES", "16"))
+    n_frames = int(os.environ.get("BENCH_FRAMES", "64"))
     refine = os.environ.get("BENCH_REFINE", "1") == "1"
-    chunk = int(os.environ.get("BENCH_CHUNK", "4"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "8"))
+    stages = os.environ.get("BENCH_STAGES", "1") == "1"
 
     cfg = FrameworkConfig(
         xmem=XMemConfig(max_objects=3),
@@ -81,10 +112,8 @@ def main() -> None:
     )
 
     h, w = 480, 854
-    rng = np.random.default_rng(0)
-    frames = [
-        jnp.asarray(rng.integers(0, 255, (h, w, 3), np.uint8)) for _ in range(4)
-    ]
+    warm_n = max(chunk, 1)
+    all_np = moving_frames(1 + warm_n + n_frames, h, w)
 
     xmem_params = xnet.xmem_init(jax.random.PRNGKey(0), cfg.xmem, dtype=jnp.bfloat16)
     sam_params = (
@@ -97,32 +126,35 @@ def main() -> None:
     mask = mask.at[1, 50:150, 600:750].set(1.0)
     valid = jnp.array([True, True, False])
     state, *_ = tracker.track_first_frame(
-        xmem_params, state, frames[0], mask, valid, cfg, paint=False
+        xmem_params, state, jnp.asarray(all_np[0]), mask, valid, cfg,
+        paint=False,
     )
 
     if chunk > 1:
         from vosesam_tpu.inference.chunked import track_chunk
 
         n_frames = -(-n_frames // chunk) * chunk
-        fbatch = jnp.stack([frames[i % len(frames)] for i in range(chunk)])
+        # pre-stage all measured chunks on device (production pipelines
+        # transfers; we keep the loop measuring compute + dispatch)
+        chunks = [
+            jnp.asarray(all_np[1 + warm_n + i: 1 + warm_n + i + chunk])
+            for i in range(0, n_frames, chunk)
+        ]
+        warm_batch = jnp.asarray(all_np[1: 1 + chunk])
 
-        def step(state, _i):
-            state, indexed, scores = track_chunk(
-                xmem_params, sam_params, state, fbatch, cfg
-            )
-            return state, indexed, scores
+        def step(state, fbatch):
+            return track_chunk(xmem_params, sam_params, state, fbatch, cfg)
 
-        state_w, idx, _ = step(state, 0)
+        state_w, idx, _ = step(state, warm_batch)
         np.asarray(idx)
         state = state_w
-        # On-device finiteness accumulator: a NaN in ANY chunk's logits
-        # propagates through the running sum of scores and is caught at the
-        # final sync (a mid-run NaN must not pass silently — the round-1
-        # CBAM miscompile produced exactly that failure mode).
+        # On-device finiteness accumulator: a NaN in ANY chunk's scores
+        # propagates through the running sum and is caught at the final
+        # sync (the round-1 CBAM miscompile produced exactly this mode).
         fin_acc = jnp.zeros((), jnp.float32)
         t0 = time.time()
-        for i in range(n_frames // chunk):
-            state, idx, scores = step(state, i)
+        for fbatch in chunks:
+            state, idx, scores = step(state, fbatch)
             fin_acc = fin_acc + jnp.sum(
                 jnp.where(jnp.isneginf(scores), 0.0, scores).astype(jnp.float32))
         sync = np.asarray(idx)
@@ -137,16 +169,15 @@ def main() -> None:
             )
             return state, indexed, scores
 
-        # warmup / compile (np.asarray forces a device->host sync; on the
-        # axon tunnel block_until_ready does not reliably block)
-        state_w, idx, _ = step(state, frames[1])
+        frames_dev = [jnp.asarray(all_np[1 + warm_n + i]) for i in range(n_frames)]
+        state_w, idx, _ = step(state, jnp.asarray(all_np[1]))
         np.asarray(idx)
         state = state_w
 
         fin_acc = jnp.zeros((), jnp.float32)
         t0 = time.time()
-        for i in range(n_frames):
-            state, idx, scores = step(state, frames[(i + 2) % len(frames)])
+        for fr in frames_dev:
+            state, idx, scores = step(state, fr)
             fin_acc = fin_acc + jnp.sum(
                 jnp.where(jnp.isneginf(scores), 0.0, scores).astype(jnp.float32))
         sync = np.asarray(idx)
@@ -155,9 +186,57 @@ def main() -> None:
         assert np.isfinite(np.asarray(sync)).all()
         assert np.isfinite(np.asarray(fin_acc)), "non-finite scores mid-run"
 
+    # Long-form honesty: the measured window must have crossed the LT
+    # consolidation boundary so steady state includes LT reads.
+    lt_count = int(np.asarray(state.memory.long.key_valid.sum()))
+    if n_frames >= 64:
+        assert lt_count > 0, (
+            f"LT consolidation never fired in {n_frames} frames — "
+            "bench not measuring the long-form steady state")
+
+    # ---- per-stage attribution (steady-state, same jits) ----------------
+    if stages and refine and chunk > 1:
+        fbatch = chunks[-1]
+
+        def encode_only(sp, fb):
+            return jax.vmap(lambda f: predictor.encode_image(sp, f, cfg.sam).embedding)(fb)
+
+        enc_j = jax.jit(encode_only)
+        emb = enc_j(sam_params, fbatch)
+        np.asarray(emb).ravel()[:1]
+        t0 = time.time()
+        for _ in range(3):
+            emb = enc_j(sam_params, fbatch)
+        np.asarray(emb).ravel()[:1]
+        enc_ms = (time.time() - t0) / 3 / chunk * 1e3
+
+        norefine_cfg = FrameworkConfig(
+            xmem=cfg.xmem, memory=cfg.memory, sam=cfg.sam,
+            refinement=RefinementConfig(use_refinement=False),
+            dtype=cfg.dtype,
+        )
+        from vosesam_tpu.inference.chunked import track_chunk as tc
+
+        st2 = state
+        st2, idx2, _ = tc(xmem_params, None, st2, fbatch, norefine_cfg)
+        np.asarray(idx2).ravel()[:1]
+        t0 = time.time()
+        for _ in range(3):
+            st2, idx2, _ = tc(xmem_params, None, st2, fbatch, norefine_cfg)
+        np.asarray(idx2).ravel()[:1]
+        xmem_ms = (time.time() - t0) / 3 / chunk * 1e3
+
+        total_ms = 1e3 / fps
+        print(f"# stage ms/frame @K={chunk}: encode={enc_ms:.1f} "
+              f"xmem_scan={xmem_ms:.1f} "
+              f"refine+rest={max(0.0, total_ms - enc_ms - xmem_ms):.1f} "
+              f"total={total_ms:.1f}  lt_count={lt_count}",
+              file=sys.stderr)
+
     label = f"XMem+SAM{'-HQ' if hq else ''} {sam_type}" if refine else "XMem-only"
     print(json.dumps({
-        "metric": f"DAVIS-480p frames/sec/chip ({label} refinement loop)",
+        "metric": f"DAVIS-480p frames/sec/chip ({label} refinement loop, "
+                  f"{n_frames}-frame steady state)",
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / 20.0, 3),

@@ -204,7 +204,8 @@ class TestShardedMemoryRollout:
                 fr = np.roll(noise[(i + 1) % 4], i % 16, axis=1)
                 st, prob, _ = core.step(xp, st, jnp.asarray(fr), cfg)
                 idx.append(np.asarray(jnp.argmax(prob, 0)))
-            assert int(st.memory.long.count) > 0, "LT consolidation not hit"
+            assert int(np.asarray(st.memory.long.key_valid.sum())) > 0, (
+                "LT consolidation not hit")
             outs[name] = idx
 
         agree = [
