@@ -65,8 +65,9 @@ def match_memory(
         # memory tokens split over the first n devices, queries replicated;
         # candidate top-k gather + psum reduce (parallel/memory_shard.py).
         import numpy as np
-        from jax.experimental.shard_map import shard_map
         from jax.sharding import Mesh, PartitionSpec as P
+
+        from vosesam_tpu.parallel.compat import shard_map
 
         from vosesam_tpu.parallel.memory_shard import (
             sharded_memory_read_local,

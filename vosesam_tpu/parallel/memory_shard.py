@@ -80,7 +80,8 @@ def make_sharded_read(mesh, axis_name: str, top_k: int):
     """Build a jitted sharded read: memory sharded over `axis_name`,
     queries replicated, readout replicated."""
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+
+    from vosesam_tpu.parallel.compat import shard_map
 
     fn = partial(sharded_memory_read_local, top_k=top_k, axis_name=axis_name)
 
