@@ -69,11 +69,16 @@ def main():
 
     cfg = FrameworkConfig(
         xmem=XMemConfig(max_objects=3),
-        sam=SAMConfig(model_type=sam_type, hq=True, use_flash_attention=True),
+        sam=SAMConfig(model_type=sam_type, hq=True, use_flash_attention=True,
+                      encode_rect=os.environ.get("BENCH_RECT", "1") == "1",
+                      windowed_attention_impl=os.environ.get(
+                          "BENCH_WIN_IMPL", "xla_fused_bias")),
         refinement=RefinementConfig(use_refinement=True, mode="both_neg",
                                     optimized=True),
         dtype="bfloat16",
     )
+    print(f"encode_rect={cfg.sam.encode_rect} "
+          f"windowed={cfg.sam.windowed_attention_impl}")
     sam_params = predictor.sam_init(jax.random.PRNGKey(1), cfg.sam,
                                     dtype=jnp.bfloat16)
     xmem_params = xnet.xmem_init(jax.random.PRNGKey(0), cfg.xmem,
