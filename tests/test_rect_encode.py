@@ -105,6 +105,41 @@ def test_rect_square_embedding_similarity(sam_params):
     assert cos.mean() > 0.8, cos.mean()
 
 
+def test_rect_chunked_matches_per_frame():
+    """The headline path (chunked scan + batched SAM) stays bit-equal to
+    per-frame stepping under the rect encode (the production bench config
+    combines both)."""
+    from vosesam_tpu.inference import core, tracker
+    from vosesam_tpu.inference.chunked import track_chunk
+    from vosesam_tpu.pipeline.track_anything import TrackingAnything
+
+    cfg = tiny_cfg(True)
+    cfg = dataclasses.replace(
+        cfg, sam=dataclasses.replace(TINY_SAM, encode_rect=True))
+    ta = TrackingAnything(cfg=cfg)
+    frames = synthetic_video(5)
+    mask = np.zeros((2, H, W), np.float32)
+    mask[0, 10:24, 10:30] = 1.0
+    st = core.init_tracker_state(cfg, (H, W))
+    st, *_ = core.step_with_mask(
+        ta.xmem_params, st, jnp.asarray(frames[0]), jnp.asarray(mask),
+        jnp.asarray([True, False]), cfg)
+
+    st_ref = st
+    ref = []
+    for fr in frames[1:]:
+        st_ref, indexed, *_ = tracker.track_frame(
+            ta.xmem_params, ta.sam_params, st_ref, jnp.asarray(fr), cfg,
+            paint=False)
+        ref.append(np.asarray(indexed))
+
+    st_c, idx_c, _sc = track_chunk(
+        ta.xmem_params, ta.sam_params, st,
+        jnp.stack([jnp.asarray(f) for f in frames[1:]]), cfg)
+    for i in range(4):
+        np.testing.assert_array_equal(np.asarray(idx_c[i]), ref[i])
+
+
 def test_rect_rollout_tracks_like_square():
     """Synthetic moving-object rollout: rect-encode refinement masks stay
     close to square-encode masks (same random weights, same video)."""

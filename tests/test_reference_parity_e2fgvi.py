@@ -271,3 +271,54 @@ def test_discriminator_parity(rng):
     out_j, _ = discriminator_forward(params, jnp.asarray(x))
     ref_np = out_t.numpy().transpose(0, 1, 3, 4, 2)
     np.testing.assert_allclose(np.asarray(out_j), ref_np, atol=2e-4, rtol=1e-3)
+
+
+# --------------------------------------------------------- non-HQ variant
+
+def test_nonhq_softcomp_parity(rng):
+    """The original (non-HQ) E2FGVI's SoftComp — learned additive
+    (C, 60, 108) bias instead of the HQ bias conv
+    (inpainter/model/modules/tfocal_transformer.py:49-72) — vs our
+    key-presence-dispatched soft_comp."""
+    from inpainter.model.modules.tfocal_transformer import SoftComp as RefSC
+
+    channel, hidden = 128, 512
+    kernel, stride, padding = (7, 7), (3, 3), (3, 3)
+    out_size = (60, 108)
+    torch.manual_seed(1)
+    ref = RefSC(channel, hidden, out_size, kernel, stride, padding).eval()
+    with torch.no_grad():
+        ref.bias.copy_(torch.randn_like(ref.bias) * 0.1)
+
+    sd = {k: v.detach().cpu() for k, v in ref.state_dict().items()}
+    tree = state_dict_to_tree(sd, transpose_spec={"bias": "chw_to_hwc"})
+
+    fh = (out_size[0] + 2 * padding[0] - kernel[0]) // stride[0] + 1
+    fw = (out_size[1] + 2 * padding[1] - kernel[1]) // stride[1] + 1
+    t = 3
+    x = rng.standard_normal((t, fh * fw, hidden)).astype(np.float32)
+
+    with torch.no_grad():
+        # ref takes (B, T, fh, fw, hidden) with explicit t
+        out_t = ref(torch.from_numpy(x.reshape(1, t, fh, fw, hidden)), t)
+    got = EM.soft_comp(tree, jnp.asarray(x), out_size, kernel, stride, padding)
+    want = out_t.view(t, channel, *out_size).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_nonhq_generator_forward_smoke():
+    """InpainterConfig(hq=False): the non-HQ generator runs at its fixed
+    240x432 size (the only size the reference variant supports) and the
+    checkpoint-layout bias loads through the e2fgvi loader path."""
+    cfg = InpainterConfig(hq=False, num_blocks=2)
+    params = G.generator_init(jax.random.PRNGKey(0), cfg)
+    assert "bias" in params["sc"] and "bias_conv" not in params["sc"]
+    assert params["sc"]["bias"].shape == (60, 108, 128)
+    frames = jnp.asarray(
+        np.random.default_rng(0).uniform(-1, 1, (4, 240, 432, 3)),
+        jnp.float32)
+    out, flows = jax.jit(
+        lambda p, f: G.generator_forward(p, f, 3, cfg))(params, frames)
+    assert out.shape == (4, 240, 432, 3)
+    assert np.isfinite(np.asarray(out)).all()

@@ -185,8 +185,17 @@ class RefinementConfig:
 
 @dataclasses.dataclass(frozen=True)
 class InpainterConfig:
-    """E2FGVI-HQ driver knobs (inpainter/config/config.yaml:1-7)."""
+    """E2FGVI driver knobs (inpainter/config/config.yaml:1-7).
 
+    hq selects the generator variant: True = E2FGVI-HQ (resolution-
+    agnostic, SoftComp bias conv — the only variant the reference ever
+    instantiates, base_inpainter.py:20); False = the original E2FGVI
+    (inpainter/model/e2fgvi.py:133-209 — dead code in the reference):
+    identical math except SoftComp carries a learned additive bias pinned
+    to the fixed (60, 108) feature grid, so it only supports 240x432
+    inputs."""
+
+    hq: bool = True
     neighbor_stride: int = 5
     num_ref: int = -1
     step: int = 10

@@ -408,7 +408,8 @@ def generator_init(key, cfg: InpainterConfig, dtype=jnp.float32) -> Params:
         "decoder": decoder_init(ks[1], dtype),
         "feat_prop_module": bidir_prop_init(ks[2], CHANNEL, dtype),
         "ss": M.soft_split_init(ks[3], CHANNEL, HIDDEN, KERNEL, dtype),
-        "sc": M.soft_comp_init(ks[4], CHANNEL, HIDDEN, KERNEL, dtype),
+        "sc": M.soft_comp_init(ks[4], CHANNEL, HIDDEN, KERNEL, dtype,
+                               hq=cfg.hq),
         "transformer": {
             str(i): focal_block_init(jax.random.fold_in(ks[5], i), dtype)
             for i in range(cfg.num_blocks)

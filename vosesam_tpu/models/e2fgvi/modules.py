@@ -316,20 +316,33 @@ def soft_split(p: Params, x: jax.Array, kernel, stride, padding) -> jax.Array:
     return linear(feat, p["embedding"])
 
 
-def soft_comp_init(key, channel, hidden, kernel, dtype=jnp.float32) -> Params:
+def soft_comp_init(key, channel, hidden, kernel, dtype=jnp.float32,
+                   hq: bool = True, output_size=(60, 108)) -> Params:
     k1, k2 = jax.random.split(key)
     cout = kernel[0] * kernel[1] * channel
-    return {
-        "embedding": linear_init(k1, hidden, cout, dtype=dtype),
-        "bias_conv": conv_init(k2, 3, 3, channel, channel, dtype=dtype),
-    }
+    p: Params = {"embedding": linear_init(k1, hidden, cout, dtype=dtype)}
+    if hq:
+        p["bias_conv"] = conv_init(k2, 3, 3, channel, channel, dtype=dtype)
+    else:
+        # Non-HQ E2FGVI (inpainter/model/modules/tfocal_transformer.py:56-63):
+        # a learned ADDITIVE bias pinned to the fixed (60, 108) feature grid
+        # — torch stores (C, H, W); kept here as (H, W, C) NHWC.
+        p["bias"] = jnp.zeros((output_size[0], output_size[1], channel), dtype)
+    return p
 
 
 def soft_comp(p: Params, x: jax.Array, output_size, kernel, stride, padding) -> jax.Array:
-    """(B*T, L, hidden) -> (B*T, H, W, C) token fold (SoftComp :49)."""
+    """(B*T, L, hidden) -> (B*T, H, W, C) token fold (SoftComp :49).
+
+    Dispatches on the param form (the checkpoint decides, matching the
+    reference's weights-define-architecture convention): `bias_conv` = the
+    HQ variant's 3x3 conv; `bias` = the non-HQ variant's learned additive
+    (60, 108, C) bias — only valid at the fixed 240x432 training size."""
     feat = linear(x, p["embedding"])
     out = fold(feat, output_size, kernel, stride, padding)
-    return conv2d(out, p["bias_conv"], padding=1)
+    if "bias_conv" in p:
+        return conv2d(out, p["bias_conv"], padding=1)
+    return out + p["bias"].astype(out.dtype)[None]
 
 
 def fusion_feed_forward_init(key, d_model, dtype=jnp.float32) -> Params:

@@ -43,6 +43,8 @@ def _convert_leaf(path: str, arr: np.ndarray, transpose_spec: Mapping[str, str])
     kind = transpose_spec.get(path)
     if kind == "conv_transpose":
         return np.transpose(arr, (2, 3, 0, 1))
+    if kind == "chw_to_hwc":
+        return np.transpose(arr, (1, 2, 0))
     if kind == "keep":
         return arr
     if path.endswith(".weight"):
@@ -182,15 +184,18 @@ def load_sam_checkpoint(path: str, cfg) -> "SamParams":
 # ------------------------------------------------------------------ E2FGVI
 
 def load_e2fgvi_checkpoint(path: str) -> Dict[str, Any]:
-    """Load the E2FGVI-HQ generator state dict (inpainter/base_inpainter.py:23
+    """Load an E2FGVI generator state dict (inpainter/base_inpainter.py:23
     loads it directly into InpaintGenerator). No ConvTranspose layers — the
-    'deconv' blocks are bilinear-resize + conv."""
+    'deconv' blocks are bilinear-resize + conv. Handles both variants: the
+    HQ checkpoint (sc.bias_conv.*) and the original E2FGVI checkpoint,
+    whose sc.bias is a learned (C, 60, 108) additive map (converted to
+    NHWC; models/e2fgvi/modules.py soft_comp dispatches on the key)."""
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
     if "netG" in sd:
         sd = sd["netG"]
-    return state_dict_to_tree(sd)
+    return state_dict_to_tree(sd, transpose_spec={"sc.bias": "chw_to_hwc"})
 
 
 def _orthogonal_like(rng, shape):
