@@ -140,9 +140,12 @@ def test_rect_chunked_matches_per_frame():
         np.testing.assert_array_equal(np.asarray(idx_c[i]), ref[i])
 
 
+@pytest.mark.slow
 def test_rect_rollout_tracks_like_square():
     """Synthetic moving-object rollout: rect-encode refinement masks stay
-    close to square-encode masks (same random weights, same video)."""
+    close to square-encode masks (same random weights, same video).
+    Slow-marked: two full refinement rollouts (~40 s on the 1-core host);
+    the quick gate keeps the exactness/shape/chunked rect tests above."""
     from vosesam_tpu.inference import core, tracker
 
     ious = {}

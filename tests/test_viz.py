@@ -71,6 +71,7 @@ class TestFancyPainter:
 
 
 class TestInnerDumps:
+    @pytest.mark.slow
     def test_tracker_dumps_inner_masks(self, tmp_path, rng):
         from tests.test_pipeline import tiny_cfg
         from vosesam_tpu.inference.tracker import Tracker
