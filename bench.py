@@ -41,6 +41,12 @@ Env knobs:
                                           0 = official square encode.)
   BENCH_STAGES   1|0                     (default 1 — per-stage table; extra
                                           compiles on a cold cache)
+  BENCH_FIXED_HW HxW                     (default unset — opt-in aspect-
+                                          DISTORTING fixed-size encode, e.g.
+                                          448x896: 28x56 tokens, zero pad
+                                          windows; overrides BENCH_RECT. A
+                                          speed/quality trade — validate vs
+                                          real checkpoints first.)
 """
 
 from __future__ import annotations
@@ -105,7 +111,11 @@ def main() -> None:
                                                          "1") == "1",
                       windowed_attention_impl=os.environ.get(
                           "BENCH_WIN_IMPL", "xla_fused_bias"),
-                      encode_rect=os.environ.get("BENCH_RECT", "1") == "1"),
+                      encode_rect=os.environ.get("BENCH_RECT", "1") == "1",
+                      encode_fixed_hw=(
+                          tuple(int(v) for v in
+                                os.environ["BENCH_FIXED_HW"].split("x"))
+                          if os.environ.get("BENCH_FIXED_HW") else None)),
         refinement=RefinementConfig(use_refinement=refine, mode="both_neg",
                                     optimized=True),
         dtype="bfloat16",

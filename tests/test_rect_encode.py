@@ -178,3 +178,56 @@ def test_rect_rollout_tracks_like_square():
         union = ((a == 1) | (b == 1)).sum()
         if union > 0:
             assert inter / union > 0.6, (inter, union)
+
+
+# ------------------------------------------------- fixed-size distorted mode
+
+FIXED_SAM = dataclasses.replace(TINY_SAM, encode_fixed_hw=(96, 128))
+
+
+def test_fixed_hw_encode_shapes_and_predict():
+    """encode_fixed_hw: the frame stretches over the whole model input (no
+    padding), the grid tiles exactly, and prediction round-trips to the
+    original resolution."""
+    params = predictor.sam_init(jax.random.PRNGKey(5), FIXED_SAM)
+    f = _frame()
+    x, input_hw = predictor.preprocess(f, FIXED_SAM)
+    assert x.shape[:2] == (96, 128) and input_hw == (96, 128)
+    emb = predictor.encode_image(params, f, FIXED_SAM)
+    assert emb.embedding.shape == (6, 8, 256)
+    pred = predictor.predict(
+        params, emb, jnp.asarray([[32.0, 24.0]]), jnp.asarray([1], jnp.int32),
+        None, FIXED_SAM)
+    assert pred.logits_full.shape[-2:] == (H, W)
+    assert np.isfinite(np.asarray(pred.logits_full)).all()
+
+
+def test_fixed_hw_coords_stretch_per_axis():
+    """A point at the original-image center must land at the model-input
+    center under the per-axis stretch."""
+    c = predictor.transform_coords(
+        jnp.asarray([[W / 2.0, H / 2.0]]), (H, W), FIXED_SAM)
+    np.testing.assert_allclose(np.asarray(c[0]), [128 / 2.0, 96 / 2.0],
+                               atol=1e-5)
+
+
+def test_fixed_hw_tracker_frame_runs():
+    from vosesam_tpu.inference import core, tracker
+    from vosesam_tpu.pipeline.track_anything import TrackingAnything
+
+    cfg = tiny_cfg(True)
+    cfg = dataclasses.replace(cfg, sam=FIXED_SAM)
+    ta = TrackingAnything(cfg=cfg)
+    frames = synthetic_video(3)
+    mask = np.zeros((2, H, W), np.float32)
+    mask[0, 10:24, 10:30] = 1.0
+    st = core.init_tracker_state(cfg, (H, W))
+    st, *_ = core.step_with_mask(
+        ta.xmem_params, st, jnp.asarray(frames[0]), jnp.asarray(mask),
+        jnp.asarray([True, False]), cfg)
+    st, indexed, *_ = tracker.track_frame(
+        ta.xmem_params, ta.sam_params, st, jnp.asarray(frames[1]), cfg,
+        paint=False)
+    idx = np.asarray(indexed)
+    assert idx.shape == (H, W)
+    assert set(np.unique(idx)) <= {0, 1, 2}

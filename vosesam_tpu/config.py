@@ -137,6 +137,14 @@ class SAMConfig:
     # in attention; pos/rel-pos tables are cropped to the sub-grid);
     # tests/test_rect_encode.py bounds the mask delta.
     encode_rect: bool = False
+    # Fixed-size aspect-DISTORTING encode (opt-in, fastest): resize every
+    # frame directly to this (H, W) — e.g. (448, 896) for 480p: a 28x56
+    # token grid that window-14 tiles EXACTLY (zero pad windows) with 62%
+    # fewer tokens than the official square. Unlike encode_rect (which
+    # preserves the official geometry), this stretches the image ~12% for
+    # 16:9 content — a speed/quality trade to validate against real
+    # checkpoints before production use. Overrides encode_rect when set.
+    encode_fixed_hw: Optional[Tuple[int, int]] = None
     mask_threshold: float = 0.0
     max_points: int = 16               # static per-object prompt-point budget
     multimask_output: bool = False

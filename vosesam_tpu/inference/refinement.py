@@ -51,11 +51,18 @@ def refine_masks(
 
     if pack.use_mask:
         # SAM's mask prompt is 4x the embedding grid (256x256 for the 1024
-        # square input; e.g. 144x256 under encode_rect).
+        # square input; e.g. 144x256 under encode_rect). Under
+        # encode_fixed_hw the frame fills the grid, so the logit map is
+        # STRETCHED over the whole prompt instead of aspect-fit + fill.
         prompt_hw = (emb.embedding.shape[0] * 4, emb.embedding.shape[1] * 4)
-        mask_prompts = jax.vmap(
-            lambda lg: resize_mask_prompt(lg, prompt_hw)
-        )(xmem_logits)
+        if scfg.encode_fixed_hw is not None:
+            mask_prompts = jax.vmap(
+                lambda lg: jax.image.resize(lg, prompt_hw, "linear")
+            )(xmem_logits)
+        else:
+            mask_prompts = jax.vmap(
+                lambda lg: resize_mask_prompt(lg, prompt_hw)
+            )(xmem_logits)
     else:
         mask_prompts = None
 

@@ -144,13 +144,20 @@ def _attention(
         q, p["rel_pos_h"], p["rel_pos_w"], hw, hw
     )
 
-    if use_flash and b == 1 and (h * w) % 256 == 0:
+    # flash global kernel: pick the largest q-tile dividing N (the square
+    # 4096 and rect 2304 grids take 256; the fixed-hw 28x56 grid = 1568
+    # takes 224). Grids with no MXU-friendly divisor fall back to XLA.
+    flash_qt = (next((t for t in (256, 224, 192, 128, 112, 64)
+                      if (h * w) % t == 0), None)
+                if use_flash and b == 1 and h * w >= 256 else None)
+    if flash_qt is not None:
         from vosesam_tpu.ops.pallas.flash_attention import flash_attention_relpos
 
         out = flash_attention_relpos(
             q[0].transpose(1, 0, 2), k[0].transpose(1, 0, 2),
             v[0].transpose(1, 0, 2),
             bias_h[0], bias_w[0], hw,
+            q_tile=flash_qt,
             interpret=jax.default_backend() != "tpu",
         )                                           # (heads, N, hd)
         out = out.transpose(1, 0, 2).reshape(1, h * w, c)
@@ -283,13 +290,16 @@ def vit_encode(
                stride=cfg.patch_size, padding=0)
     pe = params["pos_embed"]
     if pe.shape[1] != y.shape[1] or pe.shape[2] != y.shape[2]:
-        if pe.shape[1] >= y.shape[1] and pe.shape[2] >= y.shape[2]:
+        if (cfg.encode_fixed_hw is None
+                and pe.shape[1] >= y.shape[1] and pe.shape[2] >= y.shape[2]):
             # Sub-grid (encode_rect): the real tokens of a rect input sit in
             # the TOP-LEFT of the square grid, so the top-left crop of the
             # trained pos embed is exactly what those tokens would have seen
             # in the square encode.
             pe = pe[:, : y.shape[1], : y.shape[2]]
         else:
+            # encode_fixed_hw: the frame FILLS the grid — interpolate the
+            # trained table over the whole span (standard ViT resize).
             pe = jax.image.resize(
                 pe, (1, y.shape[1], y.shape[2], pe.shape[3]), "linear")
     y = y + pe.astype(y.dtype)

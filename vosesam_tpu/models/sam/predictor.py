@@ -64,6 +64,12 @@ def preprocess(img: jax.Array, cfg: SAMConfig) -> Tuple[jax.Array, Tuple[int, in
     x = img.astype(jnp.float32)
     mean = jnp.asarray(SAM_PIXEL_MEAN, jnp.float32)
     std = jnp.asarray(SAM_PIXEL_STD, jnp.float32)
+    if cfg.encode_fixed_hw is not None:
+        # aspect-distorting fixed-size encode: the frame fills the whole
+        # model input — no padding, every token is content
+        fh, fw = cfg.encode_fixed_hw
+        resized = resize_bilinear(x, (fh, fw), axes=(0, 1))
+        return (resized - mean) / std, (fh, fw)
     resized, input_hw = sam_input_resize(
         x, cfg.image_size, rect=cfg.encode_rect, patch=cfg.patch_size)
     # Normalize, then re-zero the padding (official pads after normalize).
@@ -92,8 +98,12 @@ def encode_image(params: SamParams, img: jax.Array, cfg: SAMConfig) -> ImageEmbe
 
 
 def transform_coords(coords: jax.Array, orig_hw: Tuple[int, int], cfg: SAMConfig) -> jax.Array:
-    """Original-image xy -> model-input xy (ResizeLongestSide.apply_coords)."""
+    """Original-image xy -> model-input xy (ResizeLongestSide.apply_coords;
+    per-axis stretch under encode_fixed_hw)."""
     h, w = orig_hw
+    if cfg.encode_fixed_hw is not None:
+        fh, fw = cfg.encode_fixed_hw
+        return coords * jnp.asarray([fw / w, fh / h], jnp.float32)
     scale = cfg.image_size / max(h, w)
     return coords * scale
 
