@@ -47,6 +47,16 @@ Env knobs:
                                           windows; overrides BENCH_RECT. A
                                           speed/quality trade — validate vs
                                           real checkpoints first.)
+  BENCH_LETTERBOX_HW HxW                 (default unset — opt-in LETTERBOX
+                                          fast gear: longest-fit resize +
+                                          pad to a fixed HxW grid, aspect
+                                          preserved (the official square's
+                                          own semantics at 0.875x internal
+                                          resolution for 448x896). Same
+                                          token count as the distorting
+                                          gear, geometry-true; ~10.7% pad
+                                          tokens. Mutually exclusive with
+                                          BENCH_FIXED_HW.)
 """
 
 from __future__ import annotations
@@ -115,7 +125,11 @@ def main() -> None:
                       encode_fixed_hw=(
                           tuple(int(v) for v in
                                 os.environ["BENCH_FIXED_HW"].split("x"))
-                          if os.environ.get("BENCH_FIXED_HW") else None)),
+                          if os.environ.get("BENCH_FIXED_HW") else None),
+                      encode_letterbox_hw=(
+                          tuple(int(v) for v in
+                                os.environ["BENCH_LETTERBOX_HW"].split("x"))
+                          if os.environ.get("BENCH_LETTERBOX_HW") else None)),
         refinement=RefinementConfig(use_refinement=refine, mode="both_neg",
                                     optimized=True),
         dtype="bfloat16",

@@ -72,7 +72,15 @@ def main():
         sam=SAMConfig(model_type=sam_type, hq=True, use_flash_attention=True,
                       encode_rect=os.environ.get("BENCH_RECT", "1") == "1",
                       windowed_attention_impl=os.environ.get(
-                          "BENCH_WIN_IMPL", "xla_fused_bias")),
+                          "BENCH_WIN_IMPL", "xla_fused_bias"),
+                      encode_fixed_hw=(
+                          tuple(int(v) for v in
+                                os.environ["BENCH_FIXED_HW"].split("x"))
+                          if os.environ.get("BENCH_FIXED_HW") else None),
+                      encode_letterbox_hw=(
+                          tuple(int(v) for v in
+                                os.environ["BENCH_LETTERBOX_HW"].split("x"))
+                          if os.environ.get("BENCH_LETTERBOX_HW") else None)),
         refinement=RefinementConfig(use_refinement=True, mode="both_neg",
                                     optimized=True),
         dtype="bfloat16",

@@ -211,6 +211,82 @@ def test_fixed_hw_coords_stretch_per_axis():
                                atol=1e-5)
 
 
+# ------------------------------------------------- fixed-size letterbox mode
+
+LB_SAM = dataclasses.replace(TINY_SAM, encode_letterbox_hw=(64, 128))
+
+
+def test_letterbox_full_grid_equals_official_square():
+    """Letterbox to the official (S, S) square IS the official square path —
+    same longest-fit scale, same top-left placement, same pad. Bit-equal."""
+    lb = dataclasses.replace(TINY_SAM, encode_letterbox_hw=(128, 128))
+    f = _frame()
+    sq, sq_hw = predictor.preprocess(f, TINY_SAM)
+    lx, lb_hw = predictor.preprocess(f, lb)
+    assert sq_hw == lb_hw
+    np.testing.assert_array_equal(np.asarray(lx), np.asarray(sq))
+    c_sq = predictor.transform_coords(jnp.asarray([[20.0, 10.0]]), (H, W), TINY_SAM)
+    c_lb = predictor.transform_coords(jnp.asarray([[20.0, 10.0]]), (H, W), lb)
+    np.testing.assert_allclose(np.asarray(c_sq), np.asarray(c_lb))
+
+
+def test_letterbox_preserves_aspect_and_pads():
+    """(48, 64) frame into a (64, 128) grid: longest-fit scale is 64/48 =
+    4/3 (aspect preserved on BOTH axes, unlike encode_fixed_hw), content
+    (64, 85) top-left, the rest zero pad."""
+    f = _frame()
+    x, input_hw = predictor.preprocess(f, LB_SAM)
+    assert x.shape[:2] == (64, 128)
+    assert input_hw == (64, 85)
+    np.testing.assert_array_equal(np.asarray(x[:, 85:]), 0.0)
+    # original center maps to per-axis SAME scale (geometry-true)
+    c = predictor.transform_coords(jnp.asarray([[W / 2.0, H / 2.0]]), (H, W), LB_SAM)
+    np.testing.assert_allclose(np.asarray(c[0]), [W / 2 * 4 / 3, 32.0], atol=1e-5)
+
+
+def test_letterbox_encode_and_predict_roundtrip():
+    params = predictor.sam_init(jax.random.PRNGKey(7), LB_SAM)
+    f = _frame()
+    emb = predictor.encode_image(params, f, LB_SAM)
+    assert emb.embedding.shape == (4, 8, 256)      # 64/16 x 128/16
+    pred = predictor.predict(
+        params, emb, jnp.asarray([[20.0, 20.0]]), jnp.asarray([1], jnp.int32),
+        None, LB_SAM)
+    assert pred.logits_full.shape[-2:] == (H, W)
+    assert pred.low_res.shape[-2:] == (16, 32)     # model_input / 4
+    assert np.isfinite(np.asarray(pred.logits_full)).all()
+
+
+def test_letterbox_config_validation():
+    with np.testing.assert_raises(ValueError):
+        dataclasses.replace(
+            TINY_SAM, encode_letterbox_hw=(64, 128), encode_fixed_hw=(64, 128))
+    with np.testing.assert_raises(ValueError):
+        dataclasses.replace(TINY_SAM, encode_letterbox_hw=(60, 128))
+
+
+def test_letterbox_tracker_frame_runs():
+    from vosesam_tpu.inference import core, tracker
+    from vosesam_tpu.pipeline.track_anything import TrackingAnything
+
+    cfg = tiny_cfg(True)
+    cfg = dataclasses.replace(cfg, sam=LB_SAM)
+    ta = TrackingAnything(cfg=cfg)
+    frames = synthetic_video(3)
+    mask = np.zeros((2, H, W), np.float32)
+    mask[0, 10:24, 10:30] = 1.0
+    st = core.init_tracker_state(cfg, (H, W))
+    st, *_ = core.step_with_mask(
+        ta.xmem_params, st, jnp.asarray(frames[0]), jnp.asarray(mask),
+        jnp.asarray([True, False]), cfg)
+    st, indexed, *_ = tracker.track_frame(
+        ta.xmem_params, ta.sam_params, st, jnp.asarray(frames[1]), cfg,
+        paint=False)
+    idx = np.asarray(indexed)
+    assert idx.shape == (H, W)
+    assert set(np.unique(idx)) <= {0, 1, 2}
+
+
 def test_fixed_hw_tracker_frame_runs():
     from vosesam_tpu.inference import core, tracker
     from vosesam_tpu.pipeline.track_anything import TrackingAnything

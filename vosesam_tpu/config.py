@@ -145,6 +145,16 @@ class SAMConfig:
     # 16:9 content — a speed/quality trade to validate against real
     # checkpoints before production use. Overrides encode_rect when set.
     encode_fixed_hw: Optional[Tuple[int, int]] = None
+    # Fixed-size LETTERBOX encode (opt-in fast gear, geometry-true): resize
+    # to FIT this (H, W) (aspect preserved, longest-fit), place the content
+    # top-left and zero-pad the rest — exactly the official square's
+    # resize+pad semantics, just to a custom grid. (448, 896) for 480p =
+    # 28x56 tokens that window-14 tiles EXACTLY (zero pad windows) at 0.875x
+    # the official internal resolution with ~10.7% pad tokens (vs 44% for
+    # the square). Unlike encode_fixed_hw there is NO aspect distortion —
+    # the only delta vs encode_rect is internal resolution. Overrides
+    # encode_rect; mutually exclusive with encode_fixed_hw.
+    encode_letterbox_hw: Optional[Tuple[int, int]] = None
     mask_threshold: float = 0.0
     max_points: int = 16               # static per-object prompt-point budget
     multimask_output: bool = False
@@ -157,6 +167,16 @@ class SAMConfig:
             raise ValueError(
                 f"windowed_attention_impl {self.windowed_attention_impl!r} "
                 f"not in {valid}")
+        if self.encode_fixed_hw is not None and self.encode_letterbox_hw is not None:
+            raise ValueError(
+                "encode_fixed_hw and encode_letterbox_hw are mutually "
+                "exclusive — pick the distorting or the letterbox fast gear")
+        for name in ("encode_fixed_hw", "encode_letterbox_hw"):
+            hw = getattr(self, name)
+            if hw is not None and any(v % self.patch_size for v in hw):
+                raise ValueError(
+                    f"{name}={hw} must be multiples of patch_size "
+                    f"({self.patch_size})")
 
     def encoder_dims(self) -> Tuple[int, int, int, Tuple[int, ...]]:
         for name, d, depth, heads, glb in self.vit_dims:

@@ -70,6 +70,19 @@ def preprocess(img: jax.Array, cfg: SAMConfig) -> Tuple[jax.Array, Tuple[int, in
         fh, fw = cfg.encode_fixed_hw
         resized = resize_bilinear(x, (fh, fw), axes=(0, 1))
         return (resized - mean) / std, (fh, fw)
+    if cfg.encode_letterbox_hw is not None:
+        # letterbox fast gear: longest-FIT resize (aspect preserved) +
+        # bottom/right zero pad to the fixed grid — the official square's
+        # exact resize+pad semantics at a custom internal resolution.
+        fh, fw = cfg.encode_letterbox_hw
+        h0, w0 = x.shape[:2]
+        scale = min(fh / h0, fw / w0)
+        nh, nw = int(round(h0 * scale)), int(round(w0 * scale))
+        resized = resize_bilinear(x, (nh, nw), axes=(0, 1))
+        norm = (resized - mean) / std
+        out = jnp.zeros((fh, fw, x.shape[2]), norm.dtype)
+        out = jax.lax.dynamic_update_slice(out, norm, (0, 0, 0))
+        return out, (nh, nw)
     resized, input_hw = sam_input_resize(
         x, cfg.image_size, rect=cfg.encode_rect, patch=cfg.patch_size)
     # Normalize, then re-zero the padding (official pads after normalize).
@@ -104,6 +117,9 @@ def transform_coords(coords: jax.Array, orig_hw: Tuple[int, int], cfg: SAMConfig
     if cfg.encode_fixed_hw is not None:
         fh, fw = cfg.encode_fixed_hw
         return coords * jnp.asarray([fw / w, fh / h], jnp.float32)
+    if cfg.encode_letterbox_hw is not None:
+        fh, fw = cfg.encode_letterbox_hw
+        return coords * min(fh / h, fw / w)
     scale = cfg.image_size / max(h, w)
     return coords * scale
 
