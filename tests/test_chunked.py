@@ -5,7 +5,7 @@ import numpy as np
 
 from tests.test_pipeline import tiny_cfg, synthetic_video, template, H, W
 from vosesam_tpu.inference import core
-from vosesam_tpu.inference.chunked import track_chunk
+from vosesam_tpu.inference.chunked import track_chunk, track_chunk_fused
 from vosesam_tpu.inference.refinement import masks_from_prob
 from vosesam_tpu.pipeline.track_anything import TrackingAnything
 
@@ -79,3 +79,17 @@ def test_chunk_with_refinement_matches_per_frame():
             np.asarray(scores[i]), ref_scores[i], atol=1e-5, rtol=1e-5
         )
     assert int(st_chunk.curr_ti) == int(st_ref.curr_ti)
+
+    # The fused one-jit driver (for use inside an outer traced program) must
+    # produce the same masks/scores/state as the pipelined default.
+    st_f, idx_f, sc_f = track_chunk_fused(
+        ta.xmem_params, ta.sam_params, st,
+        jnp.stack([jnp.asarray(f) for f in frames[1:]]), cfg,
+    )
+    np.testing.assert_array_equal(np.asarray(idx_f), np.asarray(indexed))
+    np.testing.assert_allclose(
+        np.asarray(sc_f), np.asarray(scores), atol=1e-5, rtol=1e-5)
+    assert int(st_f.curr_ti) == int(st_chunk.curr_ti)
+    np.testing.assert_allclose(
+        np.asarray(st_f.memory.work.keys), np.asarray(st_chunk.memory.work.keys),
+        atol=1e-5, rtol=1e-5)

@@ -6,14 +6,28 @@ XMem memory state — SAM refinement is a pure function of (frame, XMem
 output) and never feeds back (base_tracker.py:178 runs it after the memory
 update). So a chunk of K frames runs as:
 
-  1. lax.scan of the XMem step over the chunk  (sequential, cheap)
-  2. ONE batched SAM encode of all K frames    (vmap -> K x 4096-token ViT)
-  3. ONE batched refinement                     (vmap over frames x objects)
+  1. the XMem step over each frame of the chunk  (sequential, cheap)
+  2. ONE batched SAM encode of all K frames      (vmap -> K x 2304-token ViT)
+  3. ONE batched refinement                      (vmap over frames x objects)
 
 Step 2/3 turn the ViT's many small ops into K-x bigger ones — this chip's
 effective FLOPs scale strongly with op size — and cut per-op dispatch
 overhead by ~K. Latency rises by a chunk; throughput (the benchmark metric)
-multiplies."""
+multiplies.
+
+Two drivers for step 1, identical numerics (same core.step, same order):
+
+  - `track_chunk` (default, PIPELINED): a host loop of per-frame XMem jit
+    dispatches followed by the one batched refine jit. Dispatches pipeline
+    on the device queue, and each step's arena updates run in place.
+  - `track_chunk_fused` (one jit per chunk): the XMem steps become a
+    lax.scan inside a single program. Measured SLOWER on the tunneled v5e
+    (scripts/exp_chunk_unroll.py: scan 22.1 ms/frame, scan unroll=K 25.4,
+    per-frame jits 15.8 — the while-loop carry blocks in-place arena
+    updates, and unrolling does not recover it), but it is the right shape
+    when the whole chunk must live inside one traced program (e.g. under an
+    outer shard_map/jit).
+"""
 
 from __future__ import annotations
 
@@ -35,6 +49,37 @@ from vosesam_tpu.models.sam import predictor
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+def _xmem_chunk_step(
+    xmem_params: Params, state: core.TrackerState, frame: jax.Array,
+    cfg: FrameworkConfig,
+):
+    """One XMem propagation step + the per-frame outputs the refinement
+    stage consumes. The same math as track_chunk_fused's scan body."""
+    st, prob, logits = core.step(xmem_params, state, frame, cfg)
+    masks, indexed = masks_from_prob(prob, cfg.xmem.max_objects)
+    scores = xmem_object_scores(prob[1:])
+    return st, (masks, logits[1:], scores, indexed, st.memory.obj_valid)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _refine_chunk(
+    sam_params, frames: jax.Array, per_frame: Tuple, cfg: FrameworkConfig,
+):
+    """Batched SAM encode + refinement over the whole chunk. `per_frame` is
+    the K-tuple of _xmem_chunk_step output tuples; stacking happens inside
+    the trace (no extra host-dispatched concat ops)."""
+    masks, obj_logits, scores, _indexed, ovalid = (
+        jnp.stack(t) for t in zip(*per_frame)
+    )
+
+    def refine_one(frame, m, lg, sc, ov):
+        emb = predictor.encode_image(sam_params, frame, cfg.sam)
+        res = refine_masks(sam_params, emb, m, lg, sc, ov, cfg)
+        return res.indexed, res.scores
+
+    return jax.vmap(refine_one)(frames, masks, obj_logits, scores, ovalid)
+
+
 def track_chunk(
     xmem_params: Params,
     sam_params,
@@ -42,8 +87,38 @@ def track_chunk(
     frames: jax.Array,          # (K, H, W, 3) uint8
     cfg: FrameworkConfig,
 ) -> Tuple[core.TrackerState, jax.Array, jax.Array]:
-    """Track K propagation frames. Returns (state, indexed (K, H, W) i32,
-    scores (K, O))."""
+    """Track K propagation frames (pipelined driver). Returns
+    (state, indexed (K, H, W) i32, scores (K, O)).
+
+    Host-level: K per-frame XMem dispatches + one batched refine dispatch.
+    Bit-equal to per-frame stepping AND to track_chunk_fused
+    (tests/test_chunked.py)."""
+    per_frame = []
+    for i in range(frames.shape[0]):
+        state, outs = _xmem_chunk_step(xmem_params, state, frames[i], cfg)
+        per_frame.append(outs)
+
+    if not cfg.refinement.use_refinement:
+        indexed = jnp.stack([o[3] for o in per_frame])
+        scores = jnp.stack([o[2] for o in per_frame])
+        return state, indexed, scores
+
+    r_indexed, r_scores = _refine_chunk(
+        sam_params, frames, tuple(per_frame), cfg)
+    return state, r_indexed, r_scores
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def track_chunk_fused(
+    xmem_params: Params,
+    sam_params,
+    state: core.TrackerState,
+    frames: jax.Array,          # (K, H, W, 3) uint8
+    cfg: FrameworkConfig,
+) -> Tuple[core.TrackerState, jax.Array, jax.Array]:
+    """Track K propagation frames in ONE traced program (XMem lax.scan +
+    batched refine). Same numerics as track_chunk; see module docstring for
+    when to prefer which."""
     o = cfg.xmem.max_objects
 
     def xmem_step(st, frame):
