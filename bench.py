@@ -137,6 +137,9 @@ def main() -> None:
 
     h, w = 480, 854
     warm_n = max(chunk, 1)
+    if chunk > 1:
+        # measured frames round UP to a whole number of chunks
+        n_frames = -(-n_frames // chunk) * chunk
     all_np = moving_frames(1 + warm_n + n_frames, h, w)
 
     xmem_params = xnet.xmem_init(jax.random.PRNGKey(0), cfg.xmem, dtype=jnp.bfloat16)
@@ -157,7 +160,6 @@ def main() -> None:
     if chunk > 1:
         from vosesam_tpu.inference.chunked import track_chunk
 
-        n_frames = -(-n_frames // chunk) * chunk
         # pre-stage all measured chunks on device as per-frame tuples
         # (production pipelines transfers; we keep the loop measuring
         # compute + dispatch — pre-split frames skip the per-frame device
@@ -181,12 +183,15 @@ def main() -> None:
         # On-device finiteness accumulator: a NaN in ANY chunk's scores
         # propagates through the running sum and is caught at the final
         # sync (the round-1 CBAM miscompile produced exactly this mode).
+        # One jitted dispatch per chunk (unjitted jnp ops cost ~1 ms of
+        # dispatch overhead EACH on this platform).
+        fin_update = jax.jit(lambda acc, s: acc + jnp.sum(
+            jnp.where(jnp.isneginf(s), 0.0, s).astype(jnp.float32)))
         fin_acc = jnp.zeros((), jnp.float32)
         t0 = time.time()
         for fbatch in chunks:
             state, idx, scores = step(state, fbatch)
-            fin_acc = fin_acc + jnp.sum(
-                jnp.where(jnp.isneginf(scores), 0.0, scores).astype(jnp.float32))
+            fin_acc = fin_update(fin_acc, scores)
         sync = np.asarray(idx)
         dt = time.time() - t0
         fps = n_frames / dt
