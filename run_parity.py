@@ -72,12 +72,30 @@ def main() -> None:
     ap.add_argument("--out", default=os.path.join("result", "parity"))
     ap.add_argument("--configs", nargs="*", type=int, default=[1, 2, 3, 4, 5],
                     help="subset of the five BASELINE config numbers")
+    ap.add_argument("--encode", default="official",
+                    help="SAM encode geometry for ALL configs: 'official' "
+                         "(1024 square, the reference's exact behavior), "
+                         "'rect' (encode_rect fast path), or 'letterbox:HxW'"
+                         " e.g. letterbox:448x896 — run this to measure the "
+                         "fast gear's J&F delta the day checkpoints exist")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
     from vosesam_tpu.config import (
         FrameworkConfig, RefinementConfig, SAMConfig,
     )
+
+    enc_kw = {}
+    if args.encode == "rect":
+        enc_kw = {"encode_rect": True}
+    elif args.encode.startswith("letterbox:"):
+        hw = tuple(int(v) for v in args.encode.split(":")[1].split("x"))
+        enc_kw = {"encode_letterbox_hw": hw}
+    elif args.encode != "official":
+        raise SystemExit(f"unknown --encode {args.encode!r}")
+
+    def mk_sam(**kw) -> SAMConfig:
+        return SAMConfig(**kw, **enc_kw)
     from vosesam_tpu.pipeline.track_anything import TrackingAnything
 
     ck = args.checkpoints
@@ -129,7 +147,7 @@ def main() -> None:
             model = TrackingAnything(
                 xmem_checkpoint=xmem_ck, sam_checkpoint=sam_ck,
                 cfg=FrameworkConfig(
-                    sam=SAMConfig(model_type="vit_h"),
+                    sam=mk_sam(model_type="vit_h"),
                     refinement=RefinementConfig(mode="both_neg",
                                                 point_algorithm="C")),
             )
@@ -164,7 +182,7 @@ def main() -> None:
             model = TrackingAnything(
                 xmem_checkpoint=xmem_ck, sam_checkpoint=samhq_ck,
                 cfg=FrameworkConfig(
-                    sam=SAMConfig(model_type="vit_h", hq=True),
+                    sam=mk_sam(model_type="vit_h", hq=True),
                     refinement=RefinementConfig(mode="both_neg",
                                                 point_algorithm="C",
                                                 optimized=True)),
@@ -186,7 +204,7 @@ def main() -> None:
             model = TrackingAnything(
                 xmem_checkpoint=xmem_ck, sam_checkpoint=samhq_ck,
                 cfg=FrameworkConfig(
-                    sam=SAMConfig(model_type="vit_h", hq=True),
+                    sam=mk_sam(model_type="vit_h", hq=True),
                     refinement=RefinementConfig(mode="both_neg")),
             )
             df = run_model_on_longdata_set("parity4_long", model, ds,
@@ -206,7 +224,7 @@ def main() -> None:
             model = TrackingAnything(
                 xmem_checkpoint=xmem_ck, sam_checkpoint=samhq_ck,
                 cfg=FrameworkConfig(
-                    sam=SAMConfig(model_type="vit_h", hq=True),
+                    sam=mk_sam(model_type="vit_h", hq=True),
                     refinement=RefinementConfig(mode="both_neg")),
             )
             df = run_model_on_longvos_set("parity5_lvos", model, ds,

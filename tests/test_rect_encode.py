@@ -265,6 +265,46 @@ def test_letterbox_config_validation():
         dataclasses.replace(TINY_SAM, encode_letterbox_hw=(60, 128))
 
 
+@pytest.mark.slow
+def test_letterbox_rollout_tracks_like_square():
+    """Synthetic moving-object rollout: letterbox-encode refinement masks
+    stay close to square-encode masks (same random weights, same video) —
+    the same gate the rect encode passed before becoming the bench default.
+    The letterbox divergence is internal resolution only (64x128 grid vs
+    the 128x128 square here)."""
+    from vosesam_tpu.inference import core, tracker
+    from vosesam_tpu.pipeline.track_anything import TrackingAnything
+
+    outs = {}
+    for name, sam_cfg in (("square", TINY_SAM), ("letterbox", LB_SAM)):
+        cfg = tiny_cfg(True)
+        cfg = dataclasses.replace(
+            cfg, sam=sam_cfg,
+            refinement=dataclasses.replace(cfg.refinement, optimized=False),
+        )
+        ta = TrackingAnything(cfg=cfg)
+        frames = synthetic_video(4)
+        mask = np.zeros((2, H, W), np.float32)
+        mask[0, 10:24, 10:30] = 1.0
+        st = core.init_tracker_state(cfg, (H, W))
+        st, *_ = core.step_with_mask(
+            ta.xmem_params, st, jnp.asarray(frames[0]), jnp.asarray(mask),
+            jnp.asarray([True, False]), cfg)
+        seq = []
+        for fr in frames[1:]:
+            st, indexed, _lg, _sc, _p = tracker.track_frame(
+                ta.xmem_params, ta.sam_params, st, jnp.asarray(fr), cfg,
+                paint=False)
+            seq.append(np.asarray(indexed))
+        outs[name] = seq
+
+    for a, b in zip(outs["square"], outs["letterbox"]):
+        inter = ((a == 1) & (b == 1)).sum()
+        union = ((a == 1) | (b == 1)).sum()
+        if union > 0:
+            assert inter / union > 0.6, (inter, union)
+
+
 def test_letterbox_tracker_frame_runs():
     from vosesam_tpu.inference import core, tracker
     from vosesam_tpu.pipeline.track_anything import TrackingAnything
