@@ -250,22 +250,44 @@ def main() -> None:
             refinement=RefinementConfig(use_refinement=False),
             dtype=cfg.dtype,
         )
-        from vosesam_tpu.inference.chunked import track_chunk as tc
+        from vosesam_tpu.inference.chunked import (
+            _refine_chunk, _xmem_chunk_step, track_chunk as tc,
+        )
 
+        fb_tuple = chunks[-1]
         st2 = state
-        st2, idx2, _ = tc(xmem_params, None, st2, fbatch, norefine_cfg)
+        st2, idx2, _ = tc(xmem_params, None, st2, fb_tuple, norefine_cfg)
         np.asarray(idx2).ravel()[:1]
         t0 = time.time()
         for _ in range(3):
-            st2, idx2, _ = tc(xmem_params, None, st2, fbatch, norefine_cfg)
+            st2, idx2, _ = tc(xmem_params, None, st2, fb_tuple, norefine_cfg)
         np.asarray(idx2).ravel()[:1]
         xmem_ms = (time.time() - t0) / 3 / chunk * 1e3
 
+        # refine stage alone (one dispatch per chunk, same jit as the run):
+        # reuse the last chunk's XMem outputs as inputs
+        st3 = state
+        per_frame = []
+        for f in fb_tuple:
+            st3, outs = _xmem_chunk_step(xmem_params, st3, f, cfg)
+            per_frame.append(outs)
+        per_frame = tuple(per_frame)
+        r_idx, _rs = _refine_chunk(sam_params, fb_tuple, per_frame, cfg)
+        np.asarray(r_idx).ravel()[:1]
+        t0 = time.time()
+        for _ in range(3):
+            r_idx, _rs = _refine_chunk(sam_params, fb_tuple, per_frame, cfg)
+        np.asarray(r_idx).ravel()[:1]
+        ref_ms = (time.time() - t0) / 3 / chunk * 1e3
+
         total_ms = 1e3 / fps
-        print(f"# stage ms/frame @K={chunk}: encode={enc_ms:.1f} "
-              f"xmem_scan={xmem_ms:.1f} "
-              f"refine+rest={max(0.0, total_ms - enc_ms - xmem_ms):.1f} "
-              f"total={total_ms:.1f}  lt_count={lt_count}",
+        # Each stage is timed STANDALONE with its own dispatch latency; in
+        # the measured loop the stages' dispatches overlap, so the columns
+        # are upper bounds and do NOT sum to `total` (the honest number).
+        print(f"# stage ms/frame @K={chunk} (standalone, non-additive): "
+              f"encode={enc_ms:.1f} xmem={xmem_ms:.1f} "
+              f"encode+refine={ref_ms:.1f} total={total_ms:.1f}  "
+              f"lt_count={lt_count}",
               file=sys.stderr)
 
     label = f"XMem+SAM{'-HQ' if hq else ''} {sam_type}" if refine else "XMem-only"
