@@ -8,6 +8,11 @@ importing jax for the virtual host device count to take effect.
 
 import os
 
+# XLA:CPU's AOT loader logs a full feature-matrix error PER CACHE ENTRY when
+# the persistent cache was compiled with compile-option pseudo-features
+# (+prefer-no-scatter etc.) — benign same-host, but hundreds of lines.
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -23,7 +28,9 @@ jax.config.update("jax_platforms", "cpu")
 # host (>20 min cold); cached executables cut reruns several-fold.
 _CACHE = os.path.join(os.path.dirname(__file__), ".jax_cache_cpu")
 jax.config.update("jax_compilation_cache_dir", _CACHE)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# 0.0, not the 1.0 default-ish threshold: model INIT is dozens of sub-second
+# compiles (a cold TrackingAnything costs ~40 s, ~6 s once they all persist).
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 import numpy as np  # noqa: E402

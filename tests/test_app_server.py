@@ -9,14 +9,13 @@ import numpy as np
 import pytest
 from PIL import Image
 
-from tests.test_pipeline import tiny_cfg, synthetic_video, template, H, W
+from tests.test_pipeline import fresh_ta, synthetic_video, template, H, W
 from vosesam_tpu.eval.rle import decode_rle, encode_rle
-from vosesam_tpu.pipeline.track_anything import TrackingAnything
 
 
-@pytest.fixture(scope="module")
+@pytest.fixture
 def model():
-    return TrackingAnything(cfg=tiny_cfg(True))
+    return fresh_ta(True)
 
 
 def b64_img(arr):

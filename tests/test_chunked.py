@@ -3,16 +3,15 @@
 import jax.numpy as jnp
 import numpy as np
 
-from tests.test_pipeline import tiny_cfg, synthetic_video, template, H, W
+from tests.test_pipeline import fresh_ta, tiny_cfg, synthetic_video, template, H, W
 from vosesam_tpu.inference import core
 from vosesam_tpu.inference.chunked import track_chunk, track_chunk_fused
 from vosesam_tpu.inference.refinement import masks_from_prob
-from vosesam_tpu.pipeline.track_anything import TrackingAnything
 
 
 def test_chunk_matches_per_frame_xmem_only():
     cfg = tiny_cfg(False)
-    ta = TrackingAnything(cfg=cfg)
+    ta = fresh_ta(False)
     frames = synthetic_video(5)
     mask = np.zeros((2, H, W), np.float32)
     mask[0, 10:24, 10:30] = 1.0
@@ -47,7 +46,7 @@ def test_chunk_with_refinement_matches_per_frame():
     from vosesam_tpu.inference import tracker as T
 
     cfg = tiny_cfg(True)
-    ta = TrackingAnything(cfg=cfg)
+    ta = fresh_ta(True)
     frames = synthetic_video(5)
     mask = np.zeros((2, H, W), np.float32)
     mask[0, 10:24, 10:30] = 1.0

@@ -183,14 +183,13 @@ class TestDatasets:
 
 class TestRunner:
     def test_davis_runner_end_to_end(self, tmp_path, monkeypatch):
-        from tests.test_pipeline import tiny_cfg
+        from tests.test_pipeline import fresh_ta
         from vosesam_tpu.eval.runner import run_model_on_davis_set
-        from vosesam_tpu.pipeline.track_anything import TrackingAnything
 
         make_davis_layout(str(tmp_path / "davis"), n_frames=3, size=(32, 48))
         monkeypatch.chdir(tmp_path)
         ds = DavisDataset(str(tmp_path / "davis"), "2017/val.txt")
-        model = TrackingAnything(cfg=tiny_cfg(False))
+        model = fresh_ta(False)
         df = run_model_on_davis_set("testrun", model, ds, save_masks=True)
         assert len(df) == 1
         assert 0.0 <= df["JF_mean"].iloc[0] <= 1.0
@@ -285,14 +284,13 @@ class TestOvis:
         assert set(np.unique(gt2)) == {0, 1}  # object 2 vanished
 
     def test_ovis_runner_end_to_end(self, tmp_path, monkeypatch):
-        from tests.test_pipeline import tiny_cfg
+        from tests.test_pipeline import fresh_ta
         from vosesam_tpu.eval.ovis import OvisDataset, run_model_on_ovis_set
-        from vosesam_tpu.pipeline.track_anything import TrackingAnything
 
         ann = self._make_layout(str(tmp_path / "ovis"))
         monkeypatch.chdir(tmp_path)
         ds = OvisDataset(str(tmp_path / "ovis"), ann)
-        model = TrackingAnything(cfg=tiny_cfg(False))
+        model = fresh_ta(False)
         df = run_model_on_ovis_set("ovisrun", model, ds, save_masks=True)
         assert len(df) == 1
         assert 0.0 <= df["JF_mean"].iloc[0] <= 1.0

@@ -2,6 +2,7 @@
 XMem->SAM refinement frame (tiny models, random weights)."""
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -41,6 +42,21 @@ def tiny_cfg(use_refinement: bool) -> FrameworkConfig:
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _shared_ta(use_refinement: bool) -> TrackingAnything:
+    return TrackingAnything(cfg=tiny_cfg(use_refinement))
+
+
+def fresh_ta(use_refinement: bool) -> TrackingAnything:
+    """Process-wide shared TrackingAnything for the two tiny_cfg configs,
+    with tracker memory cleared. Constructing one costs seconds (param-init
+    compiles + closure retraces); tests that only need a fresh memory share
+    an instance instead."""
+    ta = _shared_ta(use_refinement)
+    ta.xmem.clear_memory()
+    return ta
+
+
 def synthetic_video(n=4):
     r = np.random.default_rng(0)
     base = r.integers(0, 255, (H, W, 3), np.uint8)
@@ -60,7 +76,7 @@ def template():
 
 class TestGenerator:
     def test_xmem_only(self):
-        ta = TrackingAnything(cfg=tiny_cfg(False))
+        ta = fresh_ta(False)
         frames = synthetic_video(4)
         masks, logits, painted, scores = ta.generator(frames, template())
         assert len(masks) == 4
@@ -74,7 +90,7 @@ class TestGenerator:
         assert np.isfinite(scores[1]).all()
 
     def test_with_refinement(self):
-        ta = TrackingAnything(cfg=tiny_cfg(True))
+        ta = fresh_ta(True)
         frames = synthetic_video(2)
         masks, logits, painted, scores = ta.generator(frames, template())
         assert len(masks) == 2
@@ -95,7 +111,7 @@ class TestGenerator:
         assert masks[1].shape == (H, W)
 
     def test_clear_memory_between_videos(self):
-        ta = TrackingAnything(cfg=tiny_cfg(False))
+        ta = fresh_ta(False)
         frames = synthetic_video(2)
         ta.generator(frames, template())
         ta.xmem.clear_memory()
@@ -106,7 +122,7 @@ class TestGenerator:
 
 class TestInteract:
     def test_first_frame_click(self):
-        ta = TrackingAnything(cfg=tiny_cfg(True))
+        ta = fresh_ta(True)
         img = synthetic_video(1)[0]
         pts = np.array([[20.0, 15.0]])
         lbl = np.array([1])
@@ -116,7 +132,7 @@ class TestInteract:
         assert painted.shape == (H, W, 3)
 
     def test_two_pass_with_negative(self):
-        ta = TrackingAnything(cfg=tiny_cfg(True))
+        ta = fresh_ta(True)
         img = synthetic_video(1)[0]
         pts = np.array([[20.0, 15.0], [50.0, 40.0], [22.0, 16.0]])
         lbl = np.array([1, 0, 1])        # neg present, last positive
@@ -137,11 +153,11 @@ class TestGeneratorChunked:
         """Facade-level equivalence: chunked masks+scores == per-frame,
         including the label remap and the non-multiple-of-chunk tail."""
         frames = synthetic_video(6)   # 1 seed + 5 propagation (chunk 2 + tail)
-        ta1 = TrackingAnything(cfg=tiny_cfg(use_refinement))
-        masks_ref, _, _, scores_ref = ta1.generator(frames, template())
+        ta = fresh_ta(use_refinement)
+        masks_ref, _, _, scores_ref = ta.generator(frames, template())
 
-        ta2 = TrackingAnything(cfg=tiny_cfg(use_refinement))
-        masks_c, scores_c = ta2.generator_chunked(frames, template(), chunk=2)
+        ta = fresh_ta(use_refinement)
+        masks_c, scores_c = ta.generator_chunked(frames, template(), chunk=2)
 
         assert len(masks_c) == len(masks_ref) == 6
         for a, b in zip(masks_ref, masks_c):
@@ -150,6 +166,6 @@ class TestGeneratorChunked:
             np.testing.assert_allclose(sa, sb, rtol=1e-5, atol=1e-5)
 
     def test_requires_seeding(self):
-        ta = TrackingAnything(cfg=tiny_cfg(False))
+        ta = fresh_ta(False)
         with pytest.raises(RuntimeError):
             ta.xmem.track_batch(synthetic_video(2))

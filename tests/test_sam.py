@@ -58,6 +58,53 @@ class TestImageEncoder:
         assert out2.shape == (14, 14, 4)
         np.testing.assert_allclose(np.asarray(out2[0, 0]), np.asarray(rel[13]))
 
+    @pytest.mark.parametrize("impl", ["xla", "xla_fused_bias"])
+    def test_unpadded_qkv_block_matches_pad_first(self, impl):
+        """_block computes qkv/proj on the unpadded grid and pads q/k/v with
+        the qkv BIAS (what a zero-pad token produces). Must equal the
+        official pad-first order (still reachable via _window_partition +
+        _attention) bitwise-closely on a non-window-multiple grid."""
+        heads, c, window = 2, 16, 7
+        h, w = 10, 12   # pads to 14x14 -> 4 windows
+        key = jax.random.PRNGKey(0)
+        p = {
+            "norm1": {"weight": jnp.ones((c,)), "bias": jnp.zeros((c,))},
+            "attn": {
+                "qkv": {
+                    "weight": jax.random.normal(key, (c, 3 * c)) * 0.1,
+                    "bias": jax.random.normal(jax.random.fold_in(key, 1), (3 * c,)),
+                },
+                "proj": {
+                    "weight": jax.random.normal(jax.random.fold_in(key, 2), (c, c)) * 0.1,
+                    "bias": jnp.zeros((c,)),
+                },
+                "rel_pos_h": jax.random.normal(jax.random.fold_in(key, 3), (2 * window - 1, c // heads)),
+                "rel_pos_w": jax.random.normal(jax.random.fold_in(key, 4), (2 * window - 1, c // heads)),
+            },
+            "norm2": {"weight": jnp.ones((c,)), "bias": jnp.zeros((c,))},
+            "mlp": {
+                "lin1": {"weight": jnp.eye(c, 4 * c), "bias": jnp.zeros((4 * c,))},
+                "lin2": {"weight": jnp.eye(4 * c, c), "bias": jnp.zeros((c,))},
+            },
+        }
+        x = jax.random.normal(jax.random.fold_in(key, 5), (2, h, w, c))
+
+        got = image_encoder._block(x, p, heads, window, windowed_impl=impl)
+
+        # pad-first order: zero-pad the normed tokens, qkv inside _attention
+        from vosesam_tpu.models.layers import layer_norm, linear, gelu
+        ln = layer_norm(x, p["norm1"])
+        wins, pad_hw = image_encoder._window_partition(ln, window)
+        att = image_encoder._attention(
+            wins, p["attn"], heads, (window, window), windowed_impl=impl)
+        att = image_encoder._window_unpartition(att, window, pad_hw, (h, w))
+        ref = x + att
+        y = layer_norm(ref, p["norm2"])
+        ref = ref + linear(gelu(linear(y, p["mlp"]["lin1"])), p["mlp"]["lin2"])
+
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
     def test_window_roundtrip(self):
         x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, 4))
         w, pad_hw = image_encoder._window_partition(x, 7)
