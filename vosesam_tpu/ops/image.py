@@ -15,6 +15,7 @@ from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
@@ -105,26 +106,27 @@ def resize_bilinear_align_corners(x: jax.Array, out_hw: Sequence[int]) -> jax.Ar
     h, w = x.shape[-3], x.shape[-2]
     oh, ow = int(out_hw[0]), int(out_hw[1])
 
-    def axis_weights(n_in, n_out):
+    # Separable interpolation as two DENSE matmul contractions (MXU work)
+    # instead of four gathers (serial scalar work on TPU). Each row of the
+    # interp matrix has exactly two nonzeros, and x*0 contributes exactly
+    # 0.0 to the sum, so the result matches the gather formulation.
+    def axis_matrix(n_in, n_out):
         if n_out == 1:
-            src = jnp.zeros((1,), x.dtype)
+            src = np.zeros((1,), np.float64)
         else:
-            src = jnp.linspace(0.0, n_in - 1.0, n_out).astype(x.dtype)
-        i0 = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, n_in - 1)
-        i1 = jnp.minimum(i0 + 1, n_in - 1)
-        t = src - i0.astype(x.dtype)
-        return i0, i1, t
+            src = np.linspace(0.0, n_in - 1.0, n_out)
+        i0 = np.clip(np.floor(src).astype(np.int64), 0, n_in - 1)
+        i1 = np.minimum(i0 + 1, n_in - 1)
+        t = src - i0
+        m = np.zeros((n_out, n_in), np.float32)
+        m[np.arange(n_out), i0] += (1.0 - t)
+        m[np.arange(n_out), i1] += t
+        return jnp.asarray(m, x.dtype)
 
-    y0, y1, ty = axis_weights(h, oh)
-    x0, x1, tx = axis_weights(w, ow)
-    rows = (
-        jnp.take(x, y0, axis=-3) * (1 - ty)[:, None, None]
-        + jnp.take(x, y1, axis=-3) * ty[:, None, None]
-    )
-    return (
-        jnp.take(rows, x0, axis=-2) * (1 - tx)[:, None]
-        + jnp.take(rows, x1, axis=-2) * tx[:, None]
-    )
+    my = axis_matrix(h, oh)                       # (oh, h)
+    mx = axis_matrix(w, ow)                       # (ow, w)
+    rows = jnp.einsum("oh,...hwc->...owc", my, x)
+    return jnp.einsum("pw,...owc->...opc", mx, rows)
 
 
 def resize_nearest(x: jax.Array, out_hw: Sequence[int], axes: Tuple[int, int] = (-3, -2)) -> jax.Array:
