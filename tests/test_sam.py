@@ -59,11 +59,17 @@ class TestImageEncoder:
         np.testing.assert_allclose(np.asarray(out2[0, 0]), np.asarray(rel[13]))
 
     @pytest.mark.parametrize("impl", ["xla", "xla_fused_bias"])
-    def test_unpadded_qkv_block_matches_pad_first(self, impl):
-        """_block computes qkv/proj on the unpadded grid and pads q/k/v with
-        the qkv BIAS (what a zero-pad token produces). Must equal the
-        official pad-first order (still reachable via _window_partition +
-        _attention) bitwise-closely on a non-window-multiple grid."""
+    def test_block_matches_pad_first_composition(self, impl):
+        """_block on a non-window-multiple grid == the explicit pad-first
+        composition (_window_partition + _attention + unpartition + MLP).
+
+        Guards the block's windowed wiring. NOTE (2026-08-17 on-chip A/B):
+        computing qkv/proj on the UNPADDED grid (pad q/k/v with the qkv
+        bias, crop before proj; -27.6% qkv/proj FLOPs at rect shapes) was
+        implemented, proven equivalent by this test, and REVERTED — encode
+        standalone was a wash (75.3 vs 75.7 ms/frame; the pad-tensor writes
+        eat the matmul savings) and the vmapped refine path regressed 22
+        ms/frame (12.49 -> 11.12 fps end-to-end)."""
         heads, c, window = 2, 16, 7
         h, w = 10, 12   # pads to 14x14 -> 4 windows
         key = jax.random.PRNGKey(0)

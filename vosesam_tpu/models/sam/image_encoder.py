@@ -129,75 +129,6 @@ def _factorized_rel_pos_bias(
     )
 
 
-def _windowed_attention_from_qkv(
-    q: jax.Array, k: jax.Array, v: jax.Array,
-    bias_h: jax.Array, bias_w: jax.Array,
-    p: Params, heads: int, hw: Tuple[int, int], windowed_impl: str,
-) -> jax.Array:
-    """Windowed attention given per-window (b, T, heads, hd) q/k/v; returns
-    pre-proj output (b, T, heads*hd). Split out of _attention so the block
-    can compute qkv on the UNPADDED token grid (see _block)."""
-    b, n, _, hd = q.shape
-    h, w = hw
-    c = heads * hd
-    if windowed_impl == "xla_fused_bias":
-        # Fold the decomposed rel-pos bias INTO the QK matmul instead of a
-        # broadcast-add over the (b, heads, T, wh, ww) score tensor:
-        #   q' = [q*scale, bh_q, bw_q],  k' = [k, onehot_row(k), onehot_col(k)]
-        #   q'.k' = scale*q.k + bh[q, row(k)] + bw[q, col(k)]
-        # The one-hot lanes ride the same MXU pass (hd 80 -> 108 still pads
-        # to the same 128-lane tile, so the extra lanes are free), and the
-        # separate scale/add passes over the score tensor disappear.
-        # Measured on-chip (scripts/exp_encoder_opt.py, K=4 dependent scan):
-        # 40.6 ms vs 44.3 ms for the broadcast-add path per windowed block.
-        scale = 1.0 / math.sqrt(hd)
-        bh = bias_h.transpose(0, 2, 1, 3).astype(q.dtype)   # (b, N, heads, wh)
-        bw = bias_w.transpose(0, 2, 1, 3).astype(q.dtype)
-        qp = jnp.concatenate([q * scale, bh, bw], axis=-1)
-        rows = jnp.arange(n) // w
-        cols = jnp.arange(n) % w
-        erow = jax.nn.one_hot(rows, h, dtype=q.dtype)
-        ecol = jax.nn.one_hot(cols, w, dtype=q.dtype)
-        kp = jnp.concatenate([
-            k,
-            jnp.broadcast_to(erow[None, :, None, :], (b, n, heads, h)),
-            jnp.broadcast_to(ecol[None, :, None, :], (b, n, heads, w)),
-        ], axis=-1)
-        attn = jnp.einsum("bqnc,bknc->bnqk", qp, kp,
-                          preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
-        return jnp.einsum("bnqk,bknc->bqnc", attn, v).reshape(b, n, c)
-
-    if windowed_impl != "xla":
-        # windowed path: fused kernel avoiding the (B*nw, heads, T, T) HBM
-        # materialization. "pallas" = one instance per (window, head);
-        # "pallas_mh" = one instance per window, heads looped in-kernel
-        # (16x fewer instances).
-        from vosesam_tpu.ops.pallas.flash_attention import (
-            window_attention_relpos,
-            window_attention_relpos_mh,
-        )
-
-        kernel_fn = (window_attention_relpos_mh if windowed_impl == "pallas_mh"
-                     else window_attention_relpos)
-        out = kernel_fn(
-            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-            v.transpose(0, 2, 1, 3), bias_h, bias_w, hw,
-            interpret=jax.default_backend() != "tpu",
-        )                                           # (b, heads, T, hd)
-        return out.transpose(0, 2, 1, 3).reshape(b, n, c)
-
-    scale = 1.0 / math.sqrt(hd)
-    attn = jnp.einsum(
-        "bqnc,bknc->bnqk", q, k, preferred_element_type=jnp.float32
-    ) * scale
-    attn = attn + (
-        bias_h[..., :, None] + bias_w[..., None, :]
-    ).reshape(b, heads, n, h * w)
-    attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
-    return jnp.einsum("bnqk,bknc->bqnc", attn, v).reshape(b, n, c)
-
-
 def _attention(
     x: jax.Array, p: Params, heads: int, hw: Tuple[int, int],
     use_flash: bool = False, windowed_impl: str = "xla",
@@ -212,10 +143,6 @@ def _attention(
     bias_h, bias_w = _factorized_rel_pos_bias(
         q, p["rel_pos_h"], p["rel_pos_w"], hw, hw
     )
-    if b > 1:
-        out = _windowed_attention_from_qkv(
-            q, k, v, bias_h, bias_w, p, heads, hw, windowed_impl)
-        return linear(out, p["proj"]).reshape(b, h, w, c)
 
     # flash global kernel: pick the largest q-tile dividing N (the square
     # 4096 and rect 2304 grids take 256; the fixed-hw 28x56 grid = 1568
@@ -234,6 +161,56 @@ def _attention(
             interpret=jax.default_backend() != "tpu",
         )                                           # (heads, N, hd)
         out = out.transpose(1, 0, 2).reshape(1, h * w, c)
+        return linear(out, p["proj"]).reshape(b, h, w, c)
+
+    if b > 1 and windowed_impl == "xla_fused_bias":
+        # Fold the decomposed rel-pos bias INTO the QK matmul instead of a
+        # broadcast-add over the (b, heads, T, wh, ww) score tensor:
+        #   q' = [q*scale, bh_q, bw_q],  k' = [k, onehot_row(k), onehot_col(k)]
+        #   q'.k' = scale*q.k + bh[q, row(k)] + bw[q, col(k)]
+        # The one-hot lanes ride the same MXU pass (hd 80 -> 108 still pads
+        # to the same 128-lane tile, so the extra lanes are free), and the
+        # separate scale/add passes over the score tensor disappear.
+        # Measured on-chip (scripts/exp_encoder_opt.py, K=4 dependent scan):
+        # 40.6 ms vs 44.3 ms for the broadcast-add path per windowed block.
+        n = h * w
+        scale = 1.0 / math.sqrt(hd)
+        bh = bias_h.transpose(0, 2, 1, 3).astype(q.dtype)   # (b, N, heads, wh)
+        bw = bias_w.transpose(0, 2, 1, 3).astype(q.dtype)
+        qp = jnp.concatenate([q * scale, bh, bw], axis=-1)
+        rows = jnp.arange(n) // w
+        cols = jnp.arange(n) % w
+        erow = jax.nn.one_hot(rows, h, dtype=q.dtype)
+        ecol = jax.nn.one_hot(cols, w, dtype=q.dtype)
+        kp = jnp.concatenate([
+            k,
+            jnp.broadcast_to(erow[None, :, None, :], (b, n, heads, h)),
+            jnp.broadcast_to(ecol[None, :, None, :], (b, n, heads, w)),
+        ], axis=-1)
+        attn = jnp.einsum("bqnc,bknc->bnqk", qp, kp,
+                          preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bnqk,bknc->bqnc", attn, v).reshape(b, n, c)
+        return linear(out, p["proj"]).reshape(b, h, w, c)
+
+    if b > 1 and windowed_impl != "xla":
+        # windowed path: fused kernel avoiding the (B*nw, heads, T, T) HBM
+        # materialization. "pallas" = one instance per (window, head);
+        # "pallas_mh" = one instance per window, heads looped in-kernel
+        # (16x fewer instances).
+        from vosesam_tpu.ops.pallas.flash_attention import (
+            window_attention_relpos,
+            window_attention_relpos_mh,
+        )
+
+        kernel_fn = (window_attention_relpos_mh if windowed_impl == "pallas_mh"
+                     else window_attention_relpos)
+        out = kernel_fn(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), bias_h, bias_w, hw,
+            interpret=jax.default_backend() != "tpu",
+        )                                           # (b, heads, T, hd)
+        out = out.transpose(0, 2, 1, 3).reshape(b, h * w, c)
         return linear(out, p["proj"]).reshape(b, h, w, c)
 
     scale = 1.0 / math.sqrt(hd)
@@ -283,43 +260,10 @@ def _block(x: jax.Array, p: Params, heads: int, window: int,
         # also measured and REJECTED: (100, 14, 14, 1280) activations are
         # tile-hostile (14 pads to 16 sublanes on every op) — 66.4 vs
         # 44.3 ms/block.
-        #
-        # qkv and proj run on the UNPADDED token grid: the official encoder
-        # zero-pads the normed tokens to a window multiple BEFORE qkv (the
-        # rect 36x64 grid pads to 42x70, +27.6% tokens). Since a zero input
-        # row maps to exactly the qkv BIAS, padding qkv's output with the
-        # bias vector is bit-equivalent — and proj is per-token, so cropping
-        # the pad rows first is too. Saves ~8.4 GFLOP/frame per windowed
-        # block at rect-encode shapes (window-exact grids are unaffected).
-        attn_p = p["attn"]
-        b0, h0, w0, c = y.shape
-        hd = c // heads
-        # bias-free matmul, pad, THEN add bias: real tokens see exactly
-        # linear()'s dot+bias, pad tokens see 0+bias == qkv(0) — bitwise
-        # identical to padding the tokens first.
-        qkv = jnp.dot(y.reshape(b0, h0 * w0, c),
-                      attn_p["qkv"]["weight"].astype(y.dtype),
-                      preferred_element_type=y.dtype)
-        qkv = qkv.reshape(b0, h0, w0, 3 * c)
-        ph, pw = (window - h0 % window) % window, (window - w0 % window) % window
-        if ph or pw:
-            qkv = jnp.pad(qkv, ((0, 0), (0, ph), (0, pw), (0, 0)))
-        qkv = qkv + attn_p["qkv"]["bias"].astype(qkv.dtype)
-        hp, wp = h0 + ph, w0 + pw
-        qkv = qkv.reshape(b0, hp // window, window, wp // window, window, 3 * c)
-        qkv = qkv.transpose(0, 1, 3, 2, 4, 5).reshape(
-            -1, window * window, 3, heads, hd)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        bias_h, bias_w = _factorized_rel_pos_bias(
-            q, attn_p["rel_pos_h"], attn_p["rel_pos_w"],
-            (window, window), (window, window))
-        out = _windowed_attention_from_qkv(
-            q, k, v, bias_h, bias_w, attn_p, heads, (window, window),
-            windowed_impl)
-        out = out.reshape(-1, window, window, c)
-        out = _window_unpartition(out, window, (hp, wp), (h0, w0))
-        y = linear(out.reshape(b0, h0 * w0, c), attn_p["proj"])
-        y = y.reshape(b0, h0, w0, c)
+        y, pad_hw = _window_partition(y, window)
+        y = _attention(y, p["attn"], heads, (window, window),
+                       windowed_impl=windowed_impl)
+        y = _window_unpartition(y, window, pad_hw, (x.shape[1], x.shape[2]))
     else:
         y = _attention(y, p["attn"], heads, (x.shape[1], x.shape[2]),
                        use_flash=use_flash)
