@@ -45,12 +45,12 @@ def main():
             lambda p, f: G.generator_forward(p, f, nl, cfg)[0],
             static_argnames=())
         out = fwd(params, frames)     # compile
-        np.asarray(out)
+        np.asarray(out.ravel()[0:1])  # 1-elem sync: tunnel is ~34 MB/s
         n = 5
         t0 = time.perf_counter()
         for _ in range(n):
             out = fwd(params, frames)
-        np.asarray(out)
+        np.asarray(out.ravel()[0:1])
         ms = (time.perf_counter() - t0) / n * 1e3
         print(f"generator {dtype.__name__} T={t} local={nl} {h}x{w}: "
               f"{ms:8.1f} ms/window  ({ms / t:6.1f} ms/frame)", flush=True)

@@ -31,13 +31,19 @@ import jax
 import jax.numpy as jnp
 
 
+def _sync1(out):
+    # 1-element device-side slice sync (tunnel is ~34 MB/s: a full-output
+    # np.asarray bills seconds of host transfer to the stage)
+    jax.tree.map(lambda a: np.asarray(a.ravel()[0:1]), out)
+
+
 def timeit(name, fn, *args, n=8):
     out = fn(*args)
-    jax.tree.map(np.asarray, out)      # sync after compile
+    _sync1(out)      # sync after compile
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    jax.tree.map(np.asarray, out)
+    _sync1(out)
     ms = (time.perf_counter() - t0) / n * 1e3
     print(f"  {name:28s} {ms:8.2f} ms", flush=True)
     return out

@@ -180,8 +180,9 @@ def main():
     for _ in range(n_roll):
         st, idx, lg, sc, _ = tracker.track_frame(params, None, st, frame, cfg,
                                                  paint=False)
-    labels = np.unique(np.asarray(idx))
+    np.asarray(idx.ravel()[0:1])    # 1-elem sync; full transfer is ~34 MB/s
     dt = (time.perf_counter() - t0) / n_roll * 1e3
+    labels = np.unique(np.asarray(idx))
     sc = np.asarray(sc)
     check("480p frame step finite scores", np.isfinite(sc[:2]).all(), str(sc))
     check("480p frame step tracks objects", len(labels) > 1, str(labels))
