@@ -37,17 +37,37 @@ def _shift(x: jax.Array, dy: int, dx: int) -> jax.Array:
 
 
 def neighbors8(x: jax.Array):
-    """The 8 neighbors in Zhang-Suen order P2..P9 (N, NE, E, SE, S, SW, W, NW)."""
-    return [
-        _shift(x, -1, 0), _shift(x, -1, 1), _shift(x, 0, 1), _shift(x, 1, 1),
-        _shift(x, 1, 0), _shift(x, 1, -1), _shift(x, 0, -1), _shift(x, -1, -1),
-    ]
+    """The 8 neighbors in Zhang-Suen order P2..P9 (N, NE, E, SE, S, SW, W, NW).
+
+    One shared pad + 8 slices (not 8 pad+slice pairs)."""
+    h, w = x.shape
+    p = jnp.pad(x, ((1, 1), (1, 1)))
+
+    def s(dy, dx):
+        return jax.lax.dynamic_slice(p, (1 - dy, 1 - dx), (h, w))
+
+    return [s(-1, 0), s(-1, 1), s(0, 1), s(1, 1),
+            s(1, 0), s(1, -1), s(0, -1), s(-1, -1)]
+
+
+def _window3_sum(x: jax.Array) -> jax.Array:
+    """3x3 window sum (SAME padding) as ONE reduce_window — much cheaper on
+    TPU than 8 pad+slice shifts."""
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (3, 3), (1, 1), "SAME")
+
+
+def _window3_max(x: jax.Array) -> jax.Array:
+    init = (jnp.iinfo(x.dtype).min
+            if jnp.issubdtype(x.dtype, jnp.integer) else -jnp.inf)
+    return jax.lax.reduce_window(
+        x, init, jax.lax.max, (3, 3), (1, 1), "SAME")
 
 
 def neighbor_count(mask: jax.Array) -> jax.Array:
     """3x3 neighbor count (excluding center) — base_tracker.py:414-420."""
     m = mask.astype(jnp.float32)
-    return sum(n for n in neighbors8(m))
+    return _window3_sum(m) - m
 
 
 def dilate(mask: jax.Array, iterations: int = 1) -> jax.Array:
@@ -81,23 +101,19 @@ def label_blobs(mask: jax.Array, iterations: int = 128) -> jax.Array:
     converges; run on a downsampled grid for large masks."""
     h, w = mask.shape
     m = mask.astype(bool)
-    idx = (jnp.arange(h * w, dtype=jnp.int32) + 1).reshape(h, w)
-    labels = jnp.where(m, idx, 0)
+    # float32 labels: pixel indices (< 2^24 up to 4k-resolution masks) are
+    # exact in f32, and f32 3x3 max-pool is the well-supported TPU path
+    # (int32 reduce_window max hung the remote compiler)
+    idx = (jnp.arange(h * w, dtype=jnp.float32) + 1.0).reshape(h, w)
+    labels = jnp.where(m, idx, 0.0)
 
     def body(_, lab):
-        neigh = jnp.maximum(
-            jnp.maximum(
-                jnp.maximum(_shift(lab, -1, 0), _shift(lab, 1, 0)),
-                jnp.maximum(_shift(lab, 0, -1), _shift(lab, 0, 1)),
-            ),
-            jnp.maximum(
-                jnp.maximum(_shift(lab, -1, -1), _shift(lab, -1, 1)),
-                jnp.maximum(_shift(lab, 1, -1), _shift(lab, 1, 1)),
-            ),
-        )
-        return jnp.where(m, jnp.maximum(lab, neigh), 0)
+        # ONE 3x3 reduce_window max == max(lab, all 8 neighbors) since the
+        # window includes the center — replaces 8 pad+slice shifts
+        return jnp.where(m, _window3_max(lab), 0.0)
 
-    return jax.lax.fori_loop(0, iterations, body, labels)
+    labels = jax.lax.fori_loop(0, iterations, body, labels)
+    return labels.astype(jnp.int32)
 
 
 def top_blobs(
