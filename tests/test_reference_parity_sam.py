@@ -75,10 +75,23 @@ def _hf_key_to_official(k: str) -> str:
         k = (k.replace(".upscale_conv1.", ".output_upscaling.0.")
               .replace(".upscale_layer_norm.", ".output_upscaling.1.")
               .replace(".upscale_conv2.", ".output_upscaling.3."))
+        # SAM-HQ extras (transformers/models/sam_hq vs official sam_hq_vit_*.pth)
+        k = k.replace(".hq_token.", ".hf_token.")
+        k = k.replace(".hq_mask_mlp.", ".hf_mlp.")
+        k = (k.replace(".compress_vit_conv1.", ".compress_vit_feat.0.")
+              .replace(".compress_vit_norm.", ".compress_vit_feat.1.")
+              .replace(".compress_vit_conv2.", ".compress_vit_feat.3.")
+              .replace(".encoder_conv1.", ".embedding_encoder.0.")
+              .replace(".encoder_norm.", ".embedding_encoder.1.")
+              .replace(".encoder_conv2.", ".embedding_encoder.3.")
+              .replace(".mask_conv1.", ".embedding_maskfeature.0.")
+              .replace(".mask_norm.", ".embedding_maskfeature.1.")
+              .replace(".mask_conv2.", ".embedding_maskfeature.3."))
         # HF MLP heads (proj_in / layers.0 / proj_out) == official MLP
         # layers.0/1/2 — only in the hypernetwork/iou heads, NOT the
         # two-way transformer's own .layers.N. stack
-        if ".output_hypernetworks_mlps." in k or ".iou_prediction_head." in k:
+        if (".output_hypernetworks_mlps." in k or ".iou_prediction_head." in k
+                or ".hf_mlp." in k):
             k = k.replace(".proj_in.", ".layers.0#.")
             k = k.replace(".layers.0.", ".layers.1.")
             k = k.replace(".proj_out.", ".layers.2.")
@@ -182,6 +195,110 @@ def test_point_prompt_masks_match_torch(sam_pair):
                                  multimask=False)
     np.testing.assert_allclose(low[0:1], ref_m0, atol=2e-3, rtol=1e-3)
     np.testing.assert_allclose(iou[0:1], ref_i0, atol=2e-4, rtol=1e-3)
+
+
+@pytest.fixture(scope="module")
+def sam_hq_pair(tmp_path_factory):
+    torch.manual_seed(1)
+    hf_cfg = transformers.SamHQConfig(
+        vision_config=dict(image_size=IMAGE_SIZE),
+        prompt_encoder_config=dict(image_size=IMAGE_SIZE),
+    )
+    hf = transformers.SamHQModel(hf_cfg).eval()
+
+    official = {}
+    for k, v in hf.state_dict().items():
+        ok = _hf_key_to_official(k)
+        if ok:
+            official[ok] = v
+    path = str(tmp_path_factory.mktemp("ckhq") / "sam_hq_vit_b_hfinit.pth")
+    torch.save(official, path)
+
+    cfg = SAMConfig(model_type="vit_b", image_size=IMAGE_SIZE, hq=True,
+                    use_flash_attention=False,
+                    windowed_attention_impl="xla")
+    params = load_sam_checkpoint(path, cfg)
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 255, (IMAGE_SIZE, IMAGE_SIZE, 3), np.uint8)
+    pixel_values = torch.from_numpy(
+        ((img.astype(np.float32) - SAM_MEAN) / SAM_STD).transpose(2, 0, 1)
+    )[None]
+    return hf, params, cfg, img, pixel_values
+
+
+def test_hq_masks_match_torch(sam_hq_pair):
+    """SAM-HQ decoder (interm ViT features, embedding_encoder /
+    compress_vit_feat / embedding_maskfeature fusion, hf_token mask) vs a
+    torch oracle built from transformers SamHQModel SUBMODULES.
+
+    We drive the submodules with the OFFICIAL sam_hq dataflow rather than
+    calling SamHQModel.forward: transformers 4.57 modeling_sam_hq.py:968
+    discards the two-way transformer's updated image embeddings (binds keys
+    to `iou_token_out`, instantly overwritten) and upscales the
+    PRE-transformer src — a porting bug; the official sam_hq MaskDecoderHQ
+    (and modeling_sam.py:508 vanilla HF) upscale the transformer-updated
+    src. This implementation follows the official repo."""
+    hf, params, cfg, img, pixel_values = sam_hq_pair
+    points = [[90.0, 140.0], [200.0, 80.0]]
+    labels = [1, 0]
+    low, iou = _our_predict(params, cfg, img, points, labels)
+
+    md = hf.mask_decoder
+    act = md.activation
+    with torch.no_grad():
+        vout = hf.vision_encoder(pixel_values)
+        image_embeddings = vout.last_hidden_state           # (1, 256, g, g)
+        vit_features = vout.intermediate_embeddings[0].permute(0, 3, 1, 2)
+        sparse, dense = hf.prompt_encoder(
+            input_points=torch.from_numpy(
+                np.asarray(points, np.float32))[None, None],
+            input_labels=torch.from_numpy(
+                np.asarray(labels, np.int64))[None, None],
+            input_boxes=None, input_masks=None)
+        image_pe = hf.get_image_wide_positional_embeddings()
+
+        embed_encode = md.encoder_conv2(
+            act(md.encoder_norm(md.encoder_conv1(image_embeddings))))
+        comp = md.compress_vit_conv2(
+            act(md.compress_vit_norm(md.compress_vit_conv1(vit_features))))
+        hq_features = embed_encode + comp
+
+        output_tokens = torch.cat(
+            [md.iou_token.weight, md.mask_tokens.weight, md.hq_token.weight], 0)
+        tokens = torch.cat([output_tokens[None, None], sparse], dim=2)
+        src = image_embeddings + dense
+        b, c, h, w = src.shape
+        point_embedding, keys = md.transformer(
+            point_embeddings=tokens, image_embeddings=src,
+            image_positional_embeddings=image_pe,
+            attention_similarity=None, target_embedding=None)
+        iou_token_out = point_embedding[:, :, 0, :]
+        n_tok = md.num_mask_tokens                 # 5 = 4 sam + 1 hq
+        mask_tokens_out = point_embedding[:, :, 1:1 + n_tok, :]
+        src_upd = keys.transpose(2, 3).reshape(b, c, h, w)  # OFFICIAL dataflow
+
+        up = act(md.upscale_conv2(act(md.upscale_layer_norm(
+            md.upscale_conv1(src_upd)))))
+        up_hq = md.mask_conv2(act(md.mask_norm(md.mask_conv1(up)))) + hq_features
+
+        hyper = [
+            (md.output_hypernetworks_mlps[i] if i < n_tok - 1
+             else md.hq_mask_mlp)(mask_tokens_out[:, :, i, :])
+            for i in range(n_tok)
+        ]
+        hyper_in = torch.stack(hyper, dim=2)
+        _, cu, hu, wu = up.shape
+        ref_sam = (hyper_in[:, :, :n_tok - 1] @ up.reshape(1, 1, cu, hu * wu)
+                   ).reshape(-1, hu, wu).numpy()
+        ref_hq = (hyper_in[:, :, n_tok - 1:] @ up_hq.reshape(1, 1, cu, hu * wu)
+                  ).reshape(-1, hu, wu).numpy()
+        ref_iou = md.iou_prediction_head(iou_token_out)[0, 0].numpy()
+
+    np.testing.assert_allclose(low[:4], ref_sam, atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(low[4:5], ref_hq, atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(iou)[:len(ref_iou)], ref_iou,
+                               atol=2e-4, rtol=1e-3)
 
 
 def test_mask_prompt_matches_torch(sam_pair):
