@@ -227,6 +227,7 @@ def sam_hq_pair(tmp_path_factory):
     return hf, params, cfg, img, pixel_values
 
 
+@pytest.mark.slow
 def test_hq_masks_match_torch(sam_hq_pair):
     """SAM-HQ decoder (interm ViT features, embedding_encoder /
     compress_vit_feat / embedding_maskfeature fusion, hf_token mask) vs a
@@ -301,6 +302,7 @@ def test_hq_masks_match_torch(sam_hq_pair):
                                atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_mask_prompt_matches_torch(sam_pair):
     hf, params, cfg, img, pixel_values = sam_pair
     rng = np.random.default_rng(3)
