@@ -71,6 +71,7 @@ def capture(n_chunks: int, trace_dir: str) -> None:
     state = core.init_tracker_state(cfg, (h, w))
     mask = jnp.zeros((3, h, w)).at[0, 100:320, 150:500].set(1.0)
     mask = mask.at[1, 50:150, 600:750].set(1.0)
+    print("compiling first frame ...", flush=True)
     state, *_ = tracker.track_first_frame(
         xmem_params, state, jnp.asarray(all_np[0]), mask,
         jnp.array([True, True, False]), cfg, paint=False)
@@ -78,9 +79,11 @@ def capture(n_chunks: int, trace_dir: str) -> None:
     chunks = [tuple(jnp.asarray(all_np[1 + i + j]) for j in range(K))
               for i in range(0, n_frames, K)]
     # two warm chunks (compile + steady memory)
-    for fb in chunks[:2]:
+    for ci, fb in enumerate(chunks[:2]):
+        print(f"warm chunk {ci} ...", flush=True)
         state, idx, _ = track_chunk(xmem_params, sam_params, state, fb, cfg)
-    np.asarray(idx.ravel()[0:1])
+        np.asarray(idx.ravel()[0:1])
+    print("warmup done, tracing ...", flush=True)
 
     with jax.profiler.trace(trace_dir):
         for fb in chunks[2:]:

@@ -102,10 +102,16 @@ def main():
     kv = jnp.asarray(rng.uniform(0, 1, (M,)) > 0.1)
     vv = jnp.asarray(rng.uniform(0, 1, (O, M)) > 0.2) & kv[None]
 
-    r_out, r_use = jax.jit(lambda: read_memory_multiobject(
-        mk, ms, mv, qk, qe, kv, vv, K, return_usage=True))()
-    f_out, f_use = jax.jit(lambda: fused_memory_read(
-        mk, ms, qk, qe, mv, kv[None] & vv, K, return_usage=True))()
+    # arrays as jit ARGUMENTS (closing over mv's 53 MB inlines it into the
+    # HLO as constants and stalls the remote-compile tunnel for minutes)
+    r_out, r_use = jax.jit(
+        lambda a, b, c, d, e, f, g: read_memory_multiobject(
+            a, b, c, d, e, f, g, K, return_usage=True)
+    )(mk, ms, mv, qk, qe, kv, vv)
+    f_out, f_use = jax.jit(
+        lambda a, b, c, d, e, f: fused_memory_read(
+            a, b, c, d, e, f, K, return_usage=True)
+    )(mk, ms, qk, qe, mv, kv[None] & vv)
     e_out = float(jnp.max(jnp.abs(r_out - f_out)))
     e_use = float(jnp.max(jnp.abs(r_use - f_use)))
     check("fused_memory_read compiled parity (readout)", e_out < 1e-3,
@@ -117,35 +123,40 @@ def main():
     # ONE jit: per-dispatch timing on this tunneled chip folds in ~25 ms
     # fixed latency + pipelining effects and once inverted the fused/XLA
     # ordering entirely (BASELINE.md "dispatch-pipelining measurement").
-    def timeit(body, n=16):
+    def timeit(body, args, n=16):
+        # memory arrays ride as jit ARGUMENTS (closed-over they become HLO
+        # constants — 53 MB of them — and stall the remote compile)
         @jax.jit
-        def run(qk_in):
+        def run(qk_in, args_in):
             def step(carry, _):
-                out = body(qk_in + carry.astype(qk_in.dtype) * 0)
+                out = body(qk_in + carry.astype(qk_in.dtype) * 0, *args_in)
                 lead = jax.tree.leaves(out)[0]
                 s = jnp.sum(lead.astype(jnp.float32)) * 1e-30
                 return carry + s.astype(jnp.float32), 0
             c, _ = jax.lax.scan(step, jnp.float32(0), None, length=n)
             return c
-        np.asarray(run(qk))
+        np.asarray(run(qk, args))
         t0 = time.perf_counter()
-        np.asarray(run(qk))
+        np.asarray(run(qk, args))
         return (time.perf_counter() - t0) / n * 1e3
 
-    t_xla = timeit(lambda q: read_memory_multiobject(
-        mk, ms, mv, q, qe, kv, vv, K, return_usage=True))
-    t_fused = timeit(lambda q: fused_memory_read(
-        mk, ms, q, qe, mv, kv[None] & vv, K, return_usage=True))
-    t_approx = timeit(lambda q: read_memory_multiobject(
-        mk, ms, mv, q, qe, kv, vv, K, return_usage=True, approx=True))
+    marrs = (mk, ms, mv, qe, kv, vv)
+    t_xla = timeit(lambda q, a, b, c, d, e, f: read_memory_multiobject(
+        a, b, c, q, d, e, f, K, return_usage=True), marrs)
+    t_fused = timeit(lambda q, a, b, c, d, e, f: fused_memory_read(
+        a, b, q, d, c, e[None] & f, K, return_usage=True), marrs)
+    t_approx = timeit(lambda q, a, b, c, d, e, f: read_memory_multiobject(
+        a, b, c, q, d, e, f, K, return_usage=True, approx=True), marrs)
     print(f"      memory-read O={O} Q={Q} M={M}: xla_exact={t_xla:.1f}ms "
           f"fused={t_fused:.1f}ms xla_approx={t_approx:.1f}ms", flush=True)
     check("fused read faster than XLA exact", t_fused < t_xla,
           f"{t_fused:.1f} vs {t_xla:.1f} ms")
 
     # quantify approx divergence (the opt-in knob, VERDICT r1 item 5)
-    a_out, _ = jax.jit(lambda: read_memory_multiobject(
-        mk, ms, mv, qk, qe, kv, vv, K, return_usage=True, approx=True))()
+    a_out, _ = jax.jit(
+        lambda a, b, c, d, e, f, g: read_memory_multiobject(
+            a, b, c, d, e, f, g, K, return_usage=True, approx=True)
+    )(mk, ms, mv, qk, qe, kv, vv)
     div = float(jnp.max(jnp.abs(r_out - a_out)))
     print(f"      approx_max_k readout divergence vs exact: {div:.3e}", flush=True)
 

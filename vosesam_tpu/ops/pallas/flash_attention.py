@@ -48,16 +48,35 @@ def _flash_kernel(
     rows_per_tile = tk // gw
     num_tiles = n // tk
 
-    q = q_ref[0].astype(jnp.float32) * scale
+    # Keep q/k/v in their storage dtype (bf16) for the dots: the MXU runs
+    # bf16 x bf16 -> fp32-accum at ~4x the fp32 rate, and this matches the
+    # XLA path's numerics exactly (einsum with preferred fp32 from bf16
+    # inputs). Casting to fp32 BEFORE the dot (the original kernel) ran the
+    # whole attention at fp32 MXU rate — measured 8.4 ms/frame for the four
+    # global blocks vs ~13.6 GF each (13 TFLOPS effective).
+    q = q_ref[0]
 
     gh = bh_ref.shape[-1]
+
+    # Loop-invariant one-hot EXPANSION matrices: key k_local of a tile sits
+    # at grid (row, col) = (k_local // gw, k_local % gw), so
+    #   bias_tile = bh_tile @ expand_rows + bw @ expand_cols
+    # — two small MXU dots instead of a rows_per_tile-piece lane concat
+    # (the concat dominated kernel time at large tiles).
+    klanes = jax.lax.broadcasted_iota(jnp.int32, (rows_per_tile, tk), 1)
+    rlanes = jax.lax.broadcasted_iota(jnp.int32, (rows_per_tile, tk), 0)
+    expand_rows = (klanes // gw == rlanes).astype(jnp.float32)  # (rpt, Tk)
+    klanes2 = jax.lax.broadcasted_iota(jnp.int32, (gw, tk), 1)
+    clanes = jax.lax.broadcasted_iota(jnp.int32, (gw, tk), 0)
+    expand_cols = (klanes2 % gw == clanes).astype(jnp.float32)  # (gw, Tk)
 
     def body(j, carry):
         m_prev, l_prev, acc = carry
         start = pl.multiple_of(j * tk, tk)
-        k_tile = k_ref[0, pl.ds(start, tk), :].astype(jnp.float32)
-        v_tile = v_ref[0, pl.ds(start, tk), :].astype(jnp.float32)
-        s = jnp.dot(q, k_tile.T, preferred_element_type=jnp.float32)  # (Tq, Tk)
+        k_tile = k_ref[0, pl.ds(start, tk), :]
+        v_tile = v_ref[0, pl.ds(start, tk), :]
+        s = jnp.dot(q, k_tile.T,
+                    preferred_element_type=jnp.float32) * scale  # (Tq, Tk)
 
         # reconstruct the bias tile from factorized terms: k tokens in this
         # tile span rows [j*rpt, (j+1)*rpt) of the grid, all gw columns.
@@ -72,20 +91,23 @@ def _flash_kernel(
             bh_ref[0].astype(jnp.float32), onehot,
             preferred_element_type=jnp.float32,
         )                                                      # (Tq, rpt)
-        bw_tile = bw_ref[0]                                    # (Tq, gw)
-        # (Tq, rpt) + (Tq, gw) -> (Tq, rpt*gw) without a 3-D reshape
-        # (Mosaic can't shape-cast across the lane dim): static concat.
-        bias = jnp.concatenate(
-            [bh_tile[:, r: r + 1] + bw_tile for r in range(rows_per_tile)],
-            axis=1,
-        )
+        bias = (
+            jnp.dot(bh_tile, expand_rows,
+                    preferred_element_type=jnp.float32)
+            + jnp.dot(bw_ref[0], expand_cols,
+                      preferred_element_type=jnp.float32)
+        )                                                      # (Tq, Tk)
         s = s + bias
 
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_prev - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jnp.dot(p, v_tile, preferred_element_type=jnp.float32)
+        # bf16 probabilities into the AV dot (fp32 accum) — identical to the
+        # XLA path's softmax(...).astype(v.dtype) before the AV einsum.
+        acc = acc * alpha + jnp.dot(
+            p.astype(v_tile.dtype), v_tile,
+            preferred_element_type=jnp.float32)
         return m_new, l_new, acc
 
     m0 = jnp.full((tq, 1), NEG_INF, jnp.float32)
@@ -102,10 +124,14 @@ def _window_kernel(q_ref, k_ref, v_ref, bh_ref, bw_ref, o_ref, *,
     Refs are (1, 1, Tpad, D) / (1, 1, Tpad, wh|ww); tail rows beyond `tokens`
     are masked out of the softmax."""
     tpad, d = q_ref.shape[2], q_ref.shape[3]
-    q = q_ref[0, 0].astype(jnp.float32) * scale
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
-    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)   # (Tpad, Tpad)
+    # bf16 dots with fp32 accumulation (see _flash_kernel note): the fp32
+    # pre-cast of the original kernel quartered the MXU rate and was the
+    # reason the round-1 window kernels lost their in-situ A/Bs.
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    s = jnp.dot(q, k.T,
+                preferred_element_type=jnp.float32) * scale   # (Tpad, Tpad)
 
     bh = bh_ref[0, 0].astype(jnp.float32)    # (Tpad, wh)
     bw = bw_ref[0, 0].astype(jnp.float32)    # (Tpad, ww)
@@ -121,7 +147,8 @@ def _window_kernel(q_ref, k_ref, v_ref, bh_ref, bw_ref, o_ref, *,
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
-    o = jnp.dot(p, v, preferred_element_type=jnp.float32) / jnp.maximum(l, 1e-30)
+    o = jnp.dot(p.astype(v.dtype), v,
+                preferred_element_type=jnp.float32) / jnp.maximum(l, 1e-30)
     o_ref[0, 0] = o.astype(o_ref.dtype)
 
 
@@ -184,10 +211,11 @@ def _window_kernel_mh(q_ref, k_ref, v_ref, bh_ref, bw_ref, o_ref, *,
     tpad, d = q_ref.shape[2], q_ref.shape[3]
 
     for h in range(heads):
-        q = q_ref[0, h].astype(jnp.float32) * scale
-        k = k_ref[0, h].astype(jnp.float32)
-        v = v_ref[0, h].astype(jnp.float32)
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        # bf16 dots, fp32 accum (see _flash_kernel note)
+        q = q_ref[0, h]
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
 
         bh = bh_ref[0, h].astype(jnp.float32)
         bw = bw_ref[0, h].astype(jnp.float32)
@@ -201,7 +229,8 @@ def _window_kernel_mh(q_ref, k_ref, v_ref, bh_ref, bw_ref, o_ref, *,
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
-        o = jnp.dot(p, v, preferred_element_type=jnp.float32) / jnp.maximum(
+        o = jnp.dot(p.astype(v.dtype), v,
+                    preferred_element_type=jnp.float32) / jnp.maximum(
             l, 1e-30)
         o_ref[0, h] = o.astype(o_ref.dtype)
 
@@ -259,7 +288,7 @@ def flash_attention_relpos(
     bias_w: jax.Array,   # (heads, N, gw) factorized col bias
     grid_hw: Tuple[int, int],
     q_tile: int = 256,
-    kv_rows_per_tile: int = 2,
+    kv_rows_per_tile: int = 36,
     interpret: bool = False,
 ) -> jax.Array:
     """Softmax(q·kᵀ/√d + bias) · v with the bias kept factorized.
@@ -269,7 +298,15 @@ def flash_attention_relpos(
     heads, n, d = q.shape
     gh, gw = grid_hw
     assert n == gh * gw, (n, gh, gw)
-    tk = kv_rows_per_tile * gw
+    # Largest rows-per-tile <= requested that (a) tiles the grid height and
+    # (b) keeps the K/V tile sublane count 16-aligned (bf16 tiling). Bigger
+    # tiles amortize the per-iteration bias reconstruction and loop control:
+    # at rect vit_h shapes (36x64 grid) tk grows 128 -> 384 (3x fewer
+    # iterations of 3x bigger MXU dots).
+    r = kv_rows_per_tile
+    while r > 1 and (gh % r or (r * gw) % 16):
+        r -= 1
+    tk = r * gw
     assert n % tk == 0
     scale = 1.0 / math.sqrt(d)
 
