@@ -135,14 +135,20 @@ def _window_kernel(q_ref, k_ref, v_ref, bh_ref, bw_ref, o_ref, *,
 
     bh = bh_ref[0, 0].astype(jnp.float32)    # (Tpad, wh)
     bw = bw_ref[0, 0].astype(jnp.float32)    # (Tpad, ww)
-    # key j at (row, col) = (j // ww, j % ww): build bias columns row-block
-    # by row-block (static python loop, wh blocks of ww lanes each)
-    cols = [bh[:, r: r + 1] + bw for r in range(wh)]
-    bias = jnp.concatenate(cols, axis=1)      # (Tpad, wh*ww = tokens)
-    if tpad > tokens:
-        pad = jnp.full((tpad, tpad - tokens), NEG_INF, jnp.float32)
-        bias = jnp.concatenate([bias, pad], axis=1)
-    s = s + bias
+    # one-hot expansion dots (see _window_kernel_mh): bias = bh@E + bw@F,
+    # pad lanes masked to NEG_INF
+    jl = jax.lax.broadcasted_iota(jnp.int32, (wh, tpad), 1)
+    rl = jax.lax.broadcasted_iota(jnp.int32, (wh, tpad), 0)
+    expand_rows = ((jl // ww == rl) & (jl < tokens)).astype(jnp.float32)
+    jl2 = jax.lax.broadcasted_iota(jnp.int32, (ww, tpad), 1)
+    cl = jax.lax.broadcasted_iota(jnp.int32, (ww, tpad), 0)
+    expand_cols = ((jl2 % ww == cl) & (jl2 < tokens)).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, tpad), 1)
+    s = s + (
+        jnp.dot(bh, expand_rows, preferred_element_type=jnp.float32)
+        + jnp.dot(bw, expand_cols, preferred_element_type=jnp.float32)
+        + jnp.where(lane < tokens, 0.0, NEG_INF)
+    )
 
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
@@ -210,6 +216,20 @@ def _window_kernel_mh(q_ref, k_ref, v_ref, bh_ref, bw_ref, o_ref, *,
     ~12 MFLOP each). Refs are (1, heads, Tpad, D)."""
     tpad, d = q_ref.shape[2], q_ref.shape[3]
 
+    # Loop-invariant one-hot expansion: key j sits at (j // ww, j % ww), so
+    # bias = bh @ E + bw @ F with E[r, j] = (j//ww == r), F[c, j] = (j%ww == c)
+    # — two MXU dots per head instead of a wh-piece lane concat (gen-3; the
+    # concat build was the VPU hot spot of gen-1/2). Pad lanes j >= tokens
+    # get NEG_INF via an additive mask row folded into E's row 0 path.
+    jl = jax.lax.broadcasted_iota(jnp.int32, (wh, tpad), 1)
+    rl = jax.lax.broadcasted_iota(jnp.int32, (wh, tpad), 0)
+    expand_rows = ((jl // ww == rl) & (jl < tokens)).astype(jnp.float32)
+    jl2 = jax.lax.broadcasted_iota(jnp.int32, (ww, tpad), 1)
+    cl = jax.lax.broadcasted_iota(jnp.int32, (ww, tpad), 0)
+    expand_cols = ((jl2 % ww == cl) & (jl2 < tokens)).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, tpad), 1)
+    pad_mask = jnp.where(lane < tokens, 0.0, NEG_INF)          # (1, Tpad)
+
     for h in range(heads):
         # bf16 dots, fp32 accum (see _flash_kernel note)
         q = q_ref[0, h]
@@ -219,11 +239,11 @@ def _window_kernel_mh(q_ref, k_ref, v_ref, bh_ref, bw_ref, o_ref, *,
 
         bh = bh_ref[0, h].astype(jnp.float32)
         bw = bw_ref[0, h].astype(jnp.float32)
-        cols = [bh[:, r: r + 1] + bw for r in range(wh)]
-        bias = jnp.concatenate(cols, axis=1)
-        if tpad > tokens:
-            pad = jnp.full((tpad, tpad - tokens), NEG_INF, jnp.float32)
-            bias = jnp.concatenate([bias, pad], axis=1)
+        bias = (
+            jnp.dot(bh, expand_rows, preferred_element_type=jnp.float32)
+            + jnp.dot(bw, expand_cols, preferred_element_type=jnp.float32)
+            + pad_mask
+        )
         s = s + bias
 
         m = jnp.max(s, axis=-1, keepdims=True)
@@ -260,20 +280,24 @@ def window_attention_relpos_mh(
     bhp = pad3(bias_h, bias_h.shape[-1])
     bwp = pad3(bias_w, bias_w.shape[-1])
 
+    # heads per instance: all 16 heads' refs at vit_h window shapes overflow
+    # the 16 MB scoped-VMEM stack by ~1 MB — split the head axis across the
+    # grid instead (largest divisor of `heads` with <= 8 heads/instance).
+    hb = next(g for g in (8, 6, 4, 3, 2, 1) if heads % g == 0)
     kernel = functools.partial(
-        _window_kernel_mh, tokens=t, wh=wh, ww=ww, scale=scale, heads=heads
+        _window_kernel_mh, tokens=t, wh=wh, ww=ww, scale=scale, heads=hb
     )
     out = pl.pallas_call(
         kernel,
-        grid=(w,),
+        grid=(w, heads // hb),
         in_specs=[
-            pl.BlockSpec((1, heads, tpad, dp), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, heads, tpad, dp), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, heads, tpad, dp), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, heads, tpad, wh), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, heads, tpad, ww), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, hb, tpad, dp), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, hb, tpad, dp), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, hb, tpad, dp), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, hb, tpad, wh), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, hb, tpad, ww), lambda i, j: (i, j, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, heads, tpad, dp), lambda i: (i, 0, 0, 0)),
+        out_specs=pl.BlockSpec((1, hb, tpad, dp), lambda i, j: (i, j, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((w, heads, tpad, dp), q.dtype),
         interpret=interpret,
     )(qp, kp, vp, bhp, bwp)
