@@ -30,7 +30,7 @@ def main():
     from vosesam_tpu.ops.memory_attention import read_memory_multiobject
     from vosesam_tpu.ops.pallas.memory_read import fused_memory_read
 
-    O, Q, M, CK, CV, K = 3, 1620, 17200, 64, 512, 30
+    O, Q, M, CK, CV, K = 3, 1620, 17200, 64, 512, int(os.environ.get("READ_K", "30"))
     r = jax.random.PRNGKey(0)
     ks = jax.random.split(r, 8)
     mk = jax.random.normal(ks[0], (M, CK), jnp.bfloat16)
