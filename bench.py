@@ -101,7 +101,8 @@ def main() -> None:
     import jax.numpy as jnp
 
     from vosesam_tpu.config import (
-        FrameworkConfig, RefinementConfig, SAMConfig, XMemConfig,
+        FrameworkConfig, MemoryConfig, RefinementConfig, SAMConfig,
+        XMemConfig,
     )
     from vosesam_tpu.inference import core, tracker
     from vosesam_tpu.models.sam import predictor
@@ -116,6 +117,11 @@ def main() -> None:
 
     cfg = FrameworkConfig(
         xmem=XMemConfig(max_objects=3),
+        # both objects are registered at frame 0, so the shared-validity
+        # read contract holds (what Tracker._track_cfg would derive);
+        # BENCH_LIVE=0 disables the hint for A/B.
+        memory=MemoryConfig(
+            live_objects=(int(os.environ.get("BENCH_LIVE", "2")) or None)),
         sam=SAMConfig(model_type=sam_type, hq=hq,
                       use_flash_attention=os.environ.get("BENCH_FLASH",
                                                          "1") == "1",

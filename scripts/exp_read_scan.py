@@ -28,9 +28,14 @@ def main():
             os.path.abspath(__file__))), ".jax_cache"))
 
     from vosesam_tpu.ops.memory_attention import read_memory_multiobject
-    from vosesam_tpu.ops.pallas.memory_read import fused_memory_read
+    from vosesam_tpu.ops.pallas.memory_read import (
+        fused_memory_read,
+        fused_memory_read_shared,
+    )
 
-    O, Q, M, CK, CV, K = 3, 1620, 17200, 64, 512, int(os.environ.get("READ_K", "30"))
+    O = int(os.environ.get("READ_O", "3"))
+    Q, M, CK, CV = 1620, 17200, 64, 512
+    K = int(os.environ.get("READ_K", "30"))
     r = jax.random.PRNGKey(0)
     ks = jax.random.split(r, 8)
     mk = jax.random.normal(ks[0], (M, CK), jnp.bfloat16)
@@ -61,11 +66,16 @@ def main():
         print(f"{name}: {dt:7.2f} ms/read (deviceloop)", flush=True)
         return dt
 
-    scan_time("xla exact ", lambda q: read_memory_multiobject(
+    scan_time("xla exact   ", lambda q: read_memory_multiobject(
         mk, ms, mv, q, qe, kv, vv, K, return_usage=True))
-    scan_time("fused     ", lambda q: fused_memory_read(
+    scan_time("fused       ", lambda q: fused_memory_read(
         mk, ms, q, qe, mv, kv[None] & vv, K, return_usage=True))
-    scan_time("xla approx", lambda q: read_memory_multiobject(
+    scan_time("fused shared", lambda q: fused_memory_read_shared(
+        mk, ms, q, qe, mv, kv, K, return_usage=True))
+    # live_objects=2 production shape: 2 live rows sliced from a 3-row arena
+    scan_time("shared O=2  ", lambda q: fused_memory_read_shared(
+        mk, ms, q, qe, mv[:2], kv, K, return_usage=True))
+    scan_time("xla approx  ", lambda q: read_memory_multiobject(
         mk, ms, mv, q, qe, kv, vv, K, return_usage=True, approx=True))
 
 

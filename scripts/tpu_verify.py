@@ -119,6 +119,26 @@ def main():
     check("fused_memory_read compiled parity (usage)", e_use < 1e-3,
           f"max_err={e_use:.2e}")
 
+    # shared-validity variant (MemoryConfig.live_objects fast path): same
+    # inputs with validity rows identical across objects
+    from vosesam_tpu.ops.pallas.memory_read import fused_memory_read_shared
+
+    vv_sh = jnp.broadcast_to(kv[None], (O, M))
+    rs_out, rs_use = jax.jit(
+        lambda a, b, c, d, e, f, g: read_memory_multiobject(
+            a, b, c, d, e, f, g, K, return_usage=True)
+    )(mk, ms, mv, qk, qe, kv, vv_sh)
+    s_out, s_use = jax.jit(
+        lambda a, b, c, d, e, f: fused_memory_read_shared(
+            a, b, c, d, e, f, K, return_usage=True)
+    )(mk, ms, qk, qe, mv, kv)
+    es_out = float(jnp.max(jnp.abs(rs_out - s_out)))
+    es_use = float(jnp.max(jnp.abs(rs_use - s_use)))
+    check("fused_memory_read_shared compiled parity (readout)", es_out < 1e-3,
+          f"max_err={es_out:.2e}")
+    check("fused_memory_read_shared compiled parity (usage)", es_use < 1e-3,
+          f"max_err={es_use:.2e}")
+
     # microbenchmark at DAVIS-480p sizes. Timed as N reads scanned inside
     # ONE jit: per-dispatch timing on this tunneled chip folds in ~25 ms
     # fixed latency + pipelining effects and once inverted the fused/XLA

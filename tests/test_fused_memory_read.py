@@ -96,3 +96,68 @@ def test_fused_bf16_inputs(rng):
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
                                atol=5e-3, rtol=5e-3)
+
+
+# ---------------------------------------------------------------------------
+# Shared-validity variant (MemoryConfig.live_objects fast path)
+# ---------------------------------------------------------------------------
+
+from vosesam_tpu.ops.pallas.memory_read import fused_memory_read_shared
+
+
+def _mk_shared_case(rng, o=3, m=300, q=100, ck=64, cv=96):
+    mk, ms, qk, qe, mv, kv, _ = _mk_case(rng, o=o, m=m, q=q, ck=ck, cv=cv)
+    shared = kv & jnp.asarray(rng.uniform(0, 1, (m,)) > 0.3)
+    vv = jnp.broadcast_to(shared[None], (o, m))
+    return mk, ms, qk, qe, mv, kv, vv, shared
+
+
+def test_fused_shared_matches_per_object(rng):
+    """Identical validity rows: the shared kernel must equal both the XLA
+    chain and the per-object kernel (readout AND usage)."""
+    mk, ms, qk, qe, mv, kv, vv, shared = _mk_shared_case(rng)
+    ref_out, ref_use = read_memory_multiobject(
+        mk, ms, mv, qk, qe, kv, vv, 12, return_usage=True
+    )
+    out, use = fused_memory_read_shared(
+        mk, ms, qk, qe, mv, shared, 12, return_usage=True, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(use), np.asarray(ref_use),
+                               atol=1e-4, rtol=1e-4)
+    v1_out, v1_use = fused_memory_read(
+        mk, ms, qk, qe, mv, kv[None] & vv, 12, return_usage=True,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(v1_out),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(use), np.asarray(v1_use),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_fused_shared_multi_tile(rng):
+    mk, ms, qk, qe, mv, kv, vv, shared = _mk_shared_case(
+        rng, o=2, m=1100, q=200, cv=64)
+    ref_out, ref_use = read_memory_multiobject(
+        mk, ms, mv, qk, qe, kv, vv, 16, return_usage=True
+    )
+    out, use = fused_memory_read_shared(
+        mk, ms, qk, qe, mv, shared, 16, return_usage=True,
+        q_tile=104, m_tile=512, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(use), np.asarray(ref_use),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_fused_shared_empty_memory(rng):
+    mk, ms, qk, qe, mv, kv, vv, _ = _mk_shared_case(rng, o=2, m=64, q=32)
+    none = jnp.zeros((64,), bool)
+    out, use = fused_memory_read_shared(
+        mk, ms, qk, qe, mv, none, 8, return_usage=True, interpret=True
+    )
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_array_equal(np.asarray(out), 0.0)
+    np.testing.assert_array_equal(np.asarray(use), 0.0)

@@ -157,3 +157,41 @@ class TestLTDisabled:
         np.testing.assert_allclose(np.asarray(st.work.keys[:HW]), keys[0])
         np.testing.assert_allclose(np.asarray(st.work.keys[HW:2 * HW]), keys[2])
         np.testing.assert_allclose(np.asarray(st.work.keys[2 * HW:3 * HW]), keys[3])
+
+
+class TestLiveObjectsHint:
+    def test_hint_equivalence(self, cfgs):
+        """MemoryConfig.live_objects must be output-invariant: reads with the
+        hint (sliced arenas + shared-validity kernel) equal reads without it
+        (full arenas + per-object kernel), including usage recording."""
+        import dataclasses
+
+        mem, xm = cfgs
+        st = rings.init_memory(mem, xm, (H16, W16))
+        ov = jnp.array([True, True, False])
+        for seed in range(3):
+            key, shr, sel, val = mk_frame(seed)
+            st = manager.add_memory(st, key, shr, sel, val, ov, mem, HW)
+        q, _, sel, _ = mk_frame(9)
+        mem_hint = dataclasses.replace(mem, live_objects=2)
+        ro_a, st_a = manager.match_memory(st, q, sel, mem)
+        ro_b, st_b = manager.match_memory(st, q, sel, mem_hint)
+        np.testing.assert_allclose(np.asarray(ro_a), np.asarray(ro_b),
+                                   atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(st_a.work.use_count),
+                                   np.asarray(st_b.work.use_count),
+                                   atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(st_a.long.use_count),
+                                   np.asarray(st_b.long.use_count),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_hint_empty_memory(self, cfgs):
+        import dataclasses
+
+        mem, xm = cfgs
+        st = rings.init_memory(mem, xm, (H16, W16))
+        q, _, sel, _ = mk_frame(4)
+        mem_hint = dataclasses.replace(mem, live_objects=2)
+        ro, _ = manager.match_memory(st, q, sel, mem_hint)
+        assert np.isfinite(np.asarray(ro)).all()
+        np.testing.assert_array_equal(np.asarray(ro), 0.0)

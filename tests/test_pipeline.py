@@ -169,3 +169,36 @@ class TestGeneratorChunked:
         ta = fresh_ta(False)
         with pytest.raises(RuntimeError):
             ta.xmem.track_batch(synthetic_video(2))
+
+
+class TestLiveObjectsHintBookkeeping:
+    def test_upfront_registration_sets_hint(self):
+        """All objects registered on frame 0 -> _track_cfg carries the
+        live-object count; a mid-video annotation must drop it (the
+        shared-validity read contract breaks, memory/manager.py)."""
+        ta = fresh_ta(False)
+        frames = synthetic_video(4)
+        tr = ta.xmem
+        tr.track(frames[0], template())
+        assert tr._track_cfg().memory.live_objects == 1
+
+        tr.track(frames[1])
+        # mid-video add: second object annotated on frame 2
+        tmpl2 = np.zeros((H, W), np.uint8)
+        tmpl2[30:40, 40:60] = 5
+        tr.track(frames[2], tmpl2)
+        assert tr._track_cfg().memory.live_objects is None
+
+        # tracking still works after the hint is dropped
+        mask, *_ = tr.track(frames[3])
+        assert set(np.unique(mask)) <= {0, 3, 5}
+
+    def test_clear_restores_hint(self):
+        ta = fresh_ta(False)
+        frames = synthetic_video(2)
+        tr = ta.xmem
+        tr.track(frames[0], template())
+        tr._mid_video_add = True
+        ta.xmem.clear_memory()
+        tr.track(frames[0], template())
+        assert tr._track_cfg().memory.live_objects == 1

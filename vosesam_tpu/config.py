@@ -60,6 +60,18 @@ class MemoryConfig:
     # usage side-output) instead of the XLA chain that materializes the
     # (O, Q, M) affinity in HBM. Ignored when top_k_approx is set.
     fused_read: bool = True
+    # Static live-object hint: only the first `live_objects` rows of the
+    # (max_objects, ...) value arenas are live AND their validity rows are
+    # identical — true whenever every object was registered before any
+    # memory was committed (add_memory broadcasts one validity row,
+    # manager.py:161; consolidation/eviction act on shared slots).
+    # The read path then slices the arenas to this count and runs the
+    # shared-validity fused kernel (one threshold/exp pass for all objects,
+    # ops/pallas/memory_read.py:fused_memory_read_shared). Outputs are
+    # bit-identical: dead rows produce zero readout/usage by construction.
+    # Tracker sets this automatically from its MaskMapper and clears it if
+    # an object is added mid-video. None = no assumption (full arenas).
+    live_objects: Optional[int] = None
     mem_every: int = 5                 # config.yaml:9
     deep_update_every: int = -1        # config.yaml:10 (-1: sync with mem frames)
     enable_long_term: bool = True      # config.yaml:14

@@ -105,6 +105,13 @@ class Tracker:
         self.mapper = MaskMapper()
         self.state: Optional[core.TrackerState] = None
         self._frame_hw: Optional[Tuple[int, int]] = None
+        # live_objects hint bookkeeping (MemoryConfig.live_objects): valid
+        # while every object was registered before any propagation frame —
+        # a mid-video annotation breaks the identical-validity-rows
+        # contract, so the hint is dropped (and the step retraces once).
+        self._frames_tracked = 0
+        self._mid_video_add = False
+        self._cfg_cache: dict = {}
         # Debug parity with base_tracker.py:80-89: per-frame dumps of the
         # raw XMem mask vs the SAM-refined mask under
         # <folder>/inner/{xmem_masks,refinement_masks}/<ti>.png.
@@ -123,6 +130,25 @@ class Tracker:
         self.state = None
         self._frame_hw = None
         self.mapper.clear()
+        self._frames_tracked = 0
+        self._mid_video_add = False
+
+    def _track_cfg(self) -> FrameworkConfig:
+        """cfg with MemoryConfig.live_objects set from the mapper when the
+        shared-validity contract holds (all objects registered up front)."""
+        n = self.mapper.num_objects
+        hint = None if (self._mid_video_add or n == 0) else n
+        if hint == self.cfg.memory.live_objects:
+            return self.cfg
+        if hint not in self._cfg_cache:
+            import dataclasses
+
+            self._cfg_cache[hint] = dataclasses.replace(
+                self.cfg,
+                memory=dataclasses.replace(
+                    self.cfg.memory, live_objects=hint),
+            )
+        return self._cfg_cache[hint]
 
     def _ensure_state(self, frame: np.ndarray) -> None:
         hw = frame.shape[:2]
@@ -142,6 +168,8 @@ class Tracker:
         fj = jnp.asarray(frame)
 
         if first_frame_annotation is not None:
+            if self._frames_tracked > 0:
+                self._mid_video_add = True
             onehot, new_labels = self.mapper.convert_mask(first_frame_annotation)
             n = onehot.shape[0]
             if n > o:
@@ -160,8 +188,9 @@ class Tracker:
         else:
             self.state, indexed, logits, scores, painted = track_frame(
                 self.xmem_params, self.sam_params, self.state, fj,
-                self.cfg, self.paint,
+                self._track_cfg(), self.paint,
             )
+        self._frames_tracked += 1
 
         indexed_np = np.asarray(indexed)
         if self._inner_dir and first_frame_annotation is None:
@@ -222,8 +251,10 @@ class Tracker:
             # dispatch inside track_chunk (measured ~7 ms/frame at 480p K=8)
             fb = tuple(jnp.asarray(f) for f in frames[i0:i0 + chunk])
             self.state, indexed, scores = track_chunk(
-                self.xmem_params, self.sam_params, self.state, fb, self.cfg
+                self.xmem_params, self.sam_params, self.state, fb,
+                self._track_cfg(),
             )
+            self._frames_tracked += chunk
             if pending is not None:
                 drain(pending)
             pending = (indexed, scores)

@@ -59,6 +59,17 @@ def match_memory(
         mk, ms, mv, kv, vv = work.keys, work.shrinkage, work.values, work.key_valid(), work.value_valid
 
     # Objects with no values anywhere would soft-max over nothing; mask later.
+    # Static live-object hint (MemoryConfig.live_objects): dead arena rows
+    # produce zero readout/usage by construction, so slicing them off before
+    # the read and zero-padding the readout after is bit-identical — and
+    # cuts every read path's object axis from max_objects to the live count.
+    o_full = mv.shape[0]
+    vv_full = vv
+    n_live = cfg.live_objects
+    slice_live = n_live is not None and 0 < n_live <= o_full
+    if slice_live:
+        mv = mv[:n_live]
+        vv = vv[:n_live]
     n_shards = pcfg.memory_axis_shards if pcfg is not None else 0
     if n_shards > 1:
         # Memory-axis-sharded exact read (ParallelConfig.memory_axis_shards):
@@ -91,6 +102,16 @@ def match_memory(
             out_specs=(P(None, None, None), P(ax)),
             check_rep=False,
         )(mk, ms, q, e_sm, mv, kv[None, :] & vv)
+    elif slice_live and cfg.fused_read and not cfg.top_k_approx \
+            and cfg.top_k <= 32:
+        # live_objects contract: validity rows identical across live rows,
+        # so one threshold/exp pass serves every object.
+        from vosesam_tpu.ops.pallas.memory_read import fused_memory_read_shared
+
+        readout_flat, usage = fused_memory_read_shared(
+            mk, ms, q, e, mv, kv & vv[0], cfg.top_k,
+            return_usage=True, interpret=jax.default_backend() != "tpu",
+        )
     elif cfg.fused_read and not cfg.top_k_approx and cfg.top_k <= 32:
         from vosesam_tpu.ops.pallas.memory_read import fused_memory_read
 
@@ -103,11 +124,13 @@ def match_memory(
             mk, ms, mv, q, e, kv, vv, cfg.top_k,
             return_usage=True, approx=cfg.top_k_approx,
         )
-    o = mv.shape[0]
     cv = mv.shape[-1]
-    readout = readout_flat.reshape(o, h16, w16, cv)
+    if slice_live and n_live < o_full:
+        readout_flat = jnp.pad(
+            readout_flat, ((0, o_full - n_live), (0, 0), (0, 0)))
+    readout = readout_flat.reshape(o_full, h16, w16, cv)
     # Zero objects that have no memory at all (no valid value slots).
-    has_mem = jnp.any(vv, axis=1)
+    has_mem = jnp.any(vv_full, axis=1)
     readout = readout * has_mem[:, None, None, None].astype(readout.dtype)
 
     # Usage recording (memory_manager.py:109-119).

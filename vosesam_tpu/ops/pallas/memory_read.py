@@ -150,6 +150,188 @@ def _memory_read_kernel(
         usage_ref[0, 0, 0] = jnp.zeros((1, sim.shape[1]), jnp.float32)
 
 
+def _memory_read_shared_kernel(
+    sim_ref,     # (TQ, TM) fp32 — shared similarity tile
+    valid_ref,   # (1, TM) fp32 — SHARED slot validity (all objects)
+    mv_ref,      # (O, TM, Cv) — all object values for this memory tile
+    out_ref,     # (O, TQ, Cv) fp32
+    usage_ref,   # (1, 1, 1, TM) fp32 — phase-indexed, only phase B summed
+    run_ref,     # scratch (TQ, 32) fp32 — running top-32 (desc)
+    th_ref,      # scratch (TQ, 1) fp32
+    rm_ref,      # scratch (TQ, 1) fp32
+    l_ref,       # scratch (TQ, 1) fp32
+    acc_ref,     # scratch (TQ, O*Cv) fp32
+    *,
+    n_m: int,
+    top_k: int,
+    q_true: int,
+):
+    """Shared-validity variant of `_memory_read_kernel`: every object admits
+    the same slot set, so the threshold phase, the row max/denominator, and
+    the admitted-affinity `e` are computed ONCE per query tile instead of
+    once per object; the per-object work collapses to O unrolled MXU dots
+    against one shared `e`. Grid is (n_q, 2*n_m) — independent of O."""
+    s = pl.program_id(1)
+    qi = pl.program_id(0)
+    j = s % n_m
+    phase = s // n_m
+
+    valid = valid_ref[0].astype(jnp.float32)[None, :]
+    sim = jnp.where(valid > 0.5, sim_ref[:], NEG_INF)
+    tq = sim.shape[0]
+    n_obj, _, cv = mv_ref.shape
+
+    @pl.when(phase == 0)
+    def _threshold_phase():
+        @pl.when(j == 0)
+        def _():
+            rm_ref[:] = jnp.full((tq, 1), NEG_INF, jnp.float32)
+            run_ref[:] = jnp.full_like(run_ref, NEG_INF)
+
+        rm_ref[:] = jnp.maximum(rm_ref[:], jnp.max(sim, axis=-1, keepdims=True))
+        x = sim
+        cand = jnp.full((tq, 32), NEG_INF, jnp.float32)
+        lanes32 = jax.lax.broadcasted_iota(jnp.int32, (tq, 32), 1)
+        for i in range(top_k):
+            mx = jnp.max(x, axis=-1, keepdims=True)
+            cand = jnp.where(lanes32 == 31 - i, mx, cand)
+            x = jnp.where(x >= mx, NEG_INF, x)
+        merged = _bitonic_merge_desc(jnp.concatenate([run_ref[:], cand], axis=1))
+        run_ref[:] = merged[:, :32]
+
+        usage_ref[0, 0] = jnp.zeros((1, sim.shape[1]), jnp.float32)
+
+        @pl.when(j == n_m - 1)
+        def _():
+            th_ref[:] = run_ref[:, top_k - 1: top_k]
+            top_lanes = jax.lax.broadcasted_iota(
+                jnp.int32, (tq, 32), 1) < top_k
+            ex = jnp.where(top_lanes, jnp.exp(run_ref[:] - rm_ref[:]), 0.0)
+            l_ref[:] = jnp.sum(ex, axis=-1, keepdims=True)
+
+    @pl.when(phase == 1)
+    def _readout_phase():
+        @pl.when(j == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        admit = (sim >= th_ref[:]) & (valid > 0.5)
+        e = jnp.where(admit, jnp.exp(sim - rm_ref[:]), 0.0)
+        row = qi * tq + jax.lax.broadcasted_iota(jnp.int32, (tq, 1), 0)
+        e = jnp.where(row < q_true, e, 0.0)
+        linv = 1.0 / jnp.maximum(l_ref[:], 1e-30)
+        for oi in range(n_obj):
+            acc_ref[:, oi * cv:(oi + 1) * cv] += jnp.dot(
+                e, mv_ref[oi].astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        # per-object usage is identical under shared validity; the caller
+        # multiplies the single column-sum by O (memory_util.py:62-63)
+        usage_ref[0, 0] = jnp.sum(e * linv, axis=0, keepdims=True)
+
+        @pl.when(j == n_m - 1)
+        def _():
+            for oi in range(n_obj):
+                out_ref[oi] = acc_ref[:, oi * cv:(oi + 1) * cv] * linv
+
+
+def fused_memory_read_shared(
+    mk: jax.Array,              # (M, Ck)
+    ms: Optional[jax.Array],    # (M,) shrinkage or None
+    qk: jax.Array,              # (Q, Ck)
+    qe: Optional[jax.Array],    # (Q, Ck) selection or None
+    mv: jax.Array,              # (O, M, Cv) — ALL rows live, identical validity
+    valid: jax.Array,           # (M,) bool — shared slot validity
+    top_k: int,
+    return_usage: bool = False,
+    q_tile: int = 416,
+    m_tile: int = 512,
+    interpret: bool = False,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Shared-validity fused read: bit-equal to `fused_memory_read` with
+    `valid` broadcast over objects, at ~1/O of the threshold/exp cost (the
+    dominant phase at DAVIS sizes). Use when every object row of `mv` is
+    live and admits the same slots — the MemoryConfig.live_objects contract
+    (memory/manager.py): objects registered before any memory commit, so
+    adds/consolidation keep validity rows identical (manager.py:161,224).
+    Returns ((O, Q, Cv) fp32 readout, (M,) usage summed over objects)."""
+    o, m, cv = mv.shape
+    q, ck = qk.shape
+    if min(top_k, m) > 32:
+        raise ValueError(
+            f"fused_memory_read_shared supports top_k <= 32; got {top_k}"
+        )
+    mp = -(-m // m_tile) * m_tile
+    tq = min(q_tile, -(-q // 8) * 8)
+
+    # Scoped-VMEM guard. Mosaic's stack demand (measured ~1.3x this
+    # estimate at O=3/Cv=512/TQ=416 -> 17.2M vs the 16M limit) is the
+    # double-buffered out/sim/mv blocks plus the acc scratch; budget the
+    # estimate to 10 MB so the real demand clears the limit with margin.
+    def _vmem_est(t: int) -> int:
+        per_tq = (2 * o * cv * 4      # out block x2 buffers
+                  + o * cv * 4        # acc scratch
+                  + 2 * m_tile * 4    # sim block x2
+                  + (32 + 3 * 128) * 4)  # run/th/rm/l (lane-padded)
+        return t * per_tq + 2 * o * m_tile * cv * 2 + (1 << 19)
+
+    while tq > 64 and _vmem_est(tq) > 10 * 2 ** 20:
+        tq -= 8
+    qp = -(-q // tq) * tq
+    n_m = mp // m_tile
+    n_q = qp // tq
+    k = min(top_k, m)
+
+    sim = get_similarity(mk, ms, qk, qe)        # (Q, M) fp32
+    sim_p = jnp.pad(sim, ((0, qp - q), (0, mp - m)), constant_values=NEG_INF)
+    valid_p = jnp.pad(valid.astype(jnp.float32), (0, mp - m))[None, :]
+    mv_p = jnp.pad(mv, ((0, 0), (0, mp - m), (0, 0)))
+
+    kernel = functools.partial(
+        _memory_read_shared_kernel, n_m=n_m, top_k=k, q_true=q
+    )
+    out, usage3 = pl.pallas_call(
+        kernel,
+        grid=(n_q, 2 * n_m),
+        in_specs=[
+            pl.BlockSpec((tq, m_tile), lambda qi, s, _n=n_m: (qi, s % _n)),
+            pl.BlockSpec((1, m_tile), lambda qi, s, _n=n_m: (0, s % _n)),
+            # pin the mv tile to block 0 during phase A (consecutive equal
+            # indices elide the copy) — phase A never reads it
+            pl.BlockSpec(
+                (o, m_tile, cv),
+                lambda qi, s, _n=n_m: (0, (s // _n) * (s % _n), 0),
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((o, tq, cv), lambda qi, s: (0, qi, 0)),
+            pl.BlockSpec(
+                (1, 1, 1, m_tile),
+                lambda qi, s, _n=n_m: (qi, s // _n, 0, s % _n),
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((o, qp, cv), jnp.float32),
+            jax.ShapeDtypeStruct((n_q, 2, 1, mp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tq, 32), jnp.float32),       # running top-32
+            pltpu.VMEM((tq, 1), jnp.float32),        # th
+            pltpu.VMEM((tq, 1), jnp.float32),        # rm
+            pltpu.VMEM((tq, 1), jnp.float32),        # l
+            pltpu.VMEM((tq, o * cv), jnp.float32),   # acc
+        ],
+        interpret=interpret,
+    )(sim_p, valid_p, mv_p)
+
+    out = out[:, :q]
+    if not return_usage:
+        return out, None
+    usage = jnp.sum(usage3[:, 1, 0, :m], axis=0) * float(o)
+    return out, usage
+
+
 def fused_memory_read(
     mk: jax.Array,              # (M, Ck)
     ms: Optional[jax.Array],    # (M,) shrinkage or None
