@@ -138,11 +138,19 @@ def _attention(
     picks the windowed-path implementation ("xla" | "pallas" | "pallas_mh")."""
     b, h, w, c = x.shape
     hd = c // heads
-    qkv = linear(x.reshape(b, h * w, c), p["qkv"]).reshape(b, h * w, 3, heads, hd)
-    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-    bias_h, bias_w = _factorized_rel_pos_bias(
-        q, p["rel_pos_h"], p["rel_pos_w"], hw, hw
-    )
+    xt = x.reshape(b, h * w, c)
+    # three separate dots instead of one (c, 3c) qkv matmul + strided
+    # unpack: each output is contiguous in its consumer layout, so the
+    # (b, N, 3, heads, hd) materialization + 3 slice copies disappear
+    wq, wk, wv = jnp.split(p["qkv"]["weight"], 3, axis=1)
+    bq, bk, bv = jnp.split(p["qkv"]["bias"], 3)
+    q = linear(xt, {"weight": wq, "bias": bq}).reshape(b, h * w, heads, hd)
+    k = linear(xt, {"weight": wk, "bias": bk}).reshape(b, h * w, heads, hd)
+    v = linear(xt, {"weight": wv, "bias": bv}).reshape(b, h * w, heads, hd)
+    if not (b > 1 and windowed_impl == "xla_fused_bias"):
+        bias_h, bias_w = _factorized_rel_pos_bias(
+            q, p["rel_pos_h"], p["rel_pos_w"], hw, hw
+        )
 
     # flash global kernel: pick the largest q-tile dividing N (the square
     # 4096 and rect 2304 grids take 256; the fixed-hw 28x56 grid = 1568
@@ -175,8 +183,16 @@ def _attention(
         # 40.6 ms vs 44.3 ms for the broadcast-add path per windowed block.
         n = h * w
         scale = 1.0 / math.sqrt(hd)
-        bh = bias_h.transpose(0, 2, 1, 3).astype(q.dtype)   # (b, N, heads, wh)
-        bw = bias_w.transpose(0, 2, 1, 3).astype(q.dtype)
+        # Bias einsums emitted DIRECTLY in the (b, N, heads, k) layout and
+        # q.dtype this path concatenates (the generic factorized form is
+        # (b, heads, N, k) f32 + transpose + cast — a layout/cast pass over
+        # two 5M-element tensors per block). MXU accumulates f32 either
+        # way, so the bf16 downcast lands at the same point numerically.
+        rh = _get_rel_pos(h, h, p["rel_pos_h"]).astype(q.dtype)  # (h, h, hd)
+        rw = _get_rel_pos(w, w, p["rel_pos_w"]).astype(q.dtype)
+        rq = q.reshape(b, h, w, heads, hd)
+        bh = jnp.einsum("bhwnc,hkc->bhwnk", rq, rh).reshape(b, n, heads, h)
+        bw = jnp.einsum("bhwnc,wkc->bhwnk", rq, rw).reshape(b, n, heads, w)
         qp = jnp.concatenate([q * scale, bh, bw], axis=-1)
         rows = jnp.arange(n) // w
         cols = jnp.arange(n) % w
@@ -187,9 +203,8 @@ def _attention(
             jnp.broadcast_to(erow[None, :, None, :], (b, n, heads, h)),
             jnp.broadcast_to(ecol[None, :, None, :], (b, n, heads, w)),
         ], axis=-1)
-        attn = jnp.einsum("bqnc,bknc->bnqk", qp, kp,
-                          preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+        attn = jnp.einsum("bqnc,bknc->bnqk", qp, kp)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v.dtype)
         out = jnp.einsum("bnqk,bknc->bqnc", attn, v).reshape(b, n, c)
         return linear(out, p["proj"]).reshape(b, h, w, c)
 
