@@ -191,9 +191,23 @@ def _attention(
         rh = _get_rel_pos(h, h, p["rel_pos_h"]).astype(q.dtype)  # (h, h, hd)
         rw = _get_rel_pos(w, w, p["rel_pos_w"]).astype(q.dtype)
         rq = q.reshape(b, h, w, heads, hd)
-        bh = jnp.einsum("bhwnc,hkc->bhwnk", rq, rh).reshape(b, n, heads, h)
-        bw = jnp.einsum("bhwnc,wkc->bhwnk", rq, rw).reshape(b, n, heads, w)
-        qp = jnp.concatenate([q * scale, bh, bw], axis=-1)
+        # ONE einsum builds qp = [q*scale | bias_h | bias_w] directly from a
+        # per-(row, col) projection table P (h, w, hd, hd+h+w): a scaled
+        # identity block emits q*scale and the transposed rel-pos tables emit
+        # the biases. The separate bias passes had k=14 outputs (wasting
+        # 128-lane MXU tiles) plus a 3-way qp concat; here the output minor
+        # dim 108 pads to the SAME 128-lane tile a k=28 pass would, so the
+        # MXU time is unchanged while the bias buffers, the q*scale pass and
+        # the concat all disappear.
+        proj = jnp.concatenate([
+            jnp.broadcast_to(
+                (scale * jnp.eye(hd, dtype=q.dtype))[None, None],
+                (h, w, hd, hd)),
+            jnp.broadcast_to(rh.transpose(0, 2, 1)[:, None], (h, w, hd, h)),
+            jnp.broadcast_to(rw.transpose(0, 2, 1)[None, :], (h, w, hd, w)),
+        ], axis=-1)
+        qp = jnp.einsum("bhwnc,hwck->bhwnk", rq, proj)
+        qp = qp.reshape(b, n, heads, hd + h + w)
         rows = jnp.arange(n) // w
         cols = jnp.arange(n) % w
         erow = jax.nn.one_hot(rows, h, dtype=q.dtype)
