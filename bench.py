@@ -41,6 +41,12 @@ Env knobs:
                                           0 = official square encode.)
   BENCH_STAGES   1|0                     (default 1 — per-stage table; extra
                                           compiles on a cold cache)
+  BENCH_MAXOBJ   O                       (default 2 — the object-axis width.
+                                          2 = what Tracker._ensure_state
+                                          derives for this 2-object video
+                                          (per-video object sizing); 3+ =
+                                          padded dead slots, the pre-sizing
+                                          behavior, for A/B.)
   BENCH_FIXED_HW HxW                     (default unset — opt-in aspect-
                                           DISTORTING fixed-size encode, e.g.
                                           448x896: 28x56 tokens, zero pad
@@ -115,8 +121,12 @@ def main() -> None:
     chunk = int(os.environ.get("BENCH_CHUNK", "8"))
     stages = os.environ.get("BENCH_STAGES", "1") == "1"
 
+    maxobj = int(os.environ.get("BENCH_MAXOBJ", "2"))
     cfg = FrameworkConfig(
-        xmem=XMemConfig(max_objects=3),
+        # object axis sized to the video's 2 objects — what the Tracker
+        # session derives per video (tests/test_object_sizing.py proves
+        # capacity never changes results)
+        xmem=XMemConfig(max_objects=maxobj),
         # both objects are registered at frame 0, so the shared-validity
         # read contract holds (what Tracker._track_cfg would derive);
         # BENCH_LIVE=0 disables the hint for A/B.
@@ -157,7 +167,7 @@ def main() -> None:
     state = core.init_tracker_state(cfg, (h, w))
     mask = jnp.zeros((cfg.xmem.max_objects, h, w)).at[0, 100:320, 150:500].set(1.0)
     mask = mask.at[1, 50:150, 600:750].set(1.0)
-    valid = jnp.array([True, True, False])
+    valid = jnp.arange(cfg.xmem.max_objects) < 2
     state, *_ = tracker.track_first_frame(
         xmem_params, state, jnp.asarray(all_np[0]), mask, valid, cfg,
         paint=False,

@@ -105,6 +105,14 @@ class Tracker:
         self.mapper = MaskMapper()
         self.state: Optional[core.TrackerState] = None
         self._frame_hw: Optional[Tuple[int, int]] = None
+        # Per-video object-axis capacity: state is allocated at the SEEDED
+        # object count (cfg.xmem.max_objects is the validation budget, not
+        # the compute width — the reference's tensors are sized by the
+        # video's real N, tracker/model/network.py:72-81) and grown via
+        # rings.grow_objects on a mid-video annotation. Dead padded slots
+        # never change results (validity-masked everywhere), so this only
+        # removes compute: decoder/value-encoder/refinement run O=N.
+        self._o_cap: Optional[int] = None
         # live_objects hint bookkeeping (MemoryConfig.live_objects): valid
         # while every object was registered before any propagation frame —
         # a mid-video annotation breaks the identical-validity-rows
@@ -129,32 +137,54 @@ class Tracker:
         """base_tracker.py:1092-1096 (no cuda cache to empty here)."""
         self.state = None
         self._frame_hw = None
+        self._o_cap = None
         self.mapper.clear()
         self._frames_tracked = 0
         self._mid_video_add = False
 
-    def _track_cfg(self) -> FrameworkConfig:
-        """cfg with MemoryConfig.live_objects set from the mapper when the
-        shared-validity contract holds (all objects registered up front)."""
-        n = self.mapper.num_objects
-        hint = None if (self._mid_video_add or n == 0) else n
-        if hint == self.cfg.memory.live_objects:
-            return self.cfg
-        if hint not in self._cfg_cache:
+    def _session_cfg(self, live_hint: Optional[int]) -> FrameworkConfig:
+        """cfg specialized to this video: object axis = current capacity,
+        MemoryConfig.live_objects = the shared-validity hint (or None).
+        Cached per (capacity, hint) — one retrace per distinct pair."""
+        o = self._o_cap if self._o_cap is not None else self.cfg.xmem.max_objects
+        key = (o, live_hint)
+        if key not in self._cfg_cache:
             import dataclasses
 
-            self._cfg_cache[hint] = dataclasses.replace(
-                self.cfg,
-                memory=dataclasses.replace(
-                    self.cfg.memory, live_objects=hint),
-            )
-        return self._cfg_cache[hint]
+            cfg = self.cfg
+            if o != cfg.xmem.max_objects:
+                cfg = dataclasses.replace(
+                    cfg, xmem=dataclasses.replace(cfg.xmem, max_objects=o))
+            if live_hint != cfg.memory.live_objects:
+                cfg = dataclasses.replace(
+                    cfg,
+                    memory=dataclasses.replace(
+                        cfg.memory, live_objects=live_hint),
+                )
+            self._cfg_cache[key] = cfg
+        return self._cfg_cache[key]
 
-    def _ensure_state(self, frame: np.ndarray) -> None:
+    def _track_cfg(self) -> FrameworkConfig:
+        """Session cfg with MemoryConfig.live_objects set from the mapper
+        when the shared-validity contract holds (all objects registered up
+        front)."""
+        n = self.mapper.num_objects
+        hint = None if (self._mid_video_add or n == 0) else n
+        return self._session_cfg(hint)
+
+    def _ensure_state(self, frame: np.ndarray, n_objects: Optional[int] = None) -> None:
         hw = frame.shape[:2]
         if self.state is None or self._frame_hw != hw:
-            self.state = core.init_tracker_state(self.cfg, hw)
+            self._o_cap = (n_objects if n_objects is not None
+                           else self.cfg.xmem.max_objects)
+            self.state = core.init_tracker_state(self._session_cfg(None), hw)
             self._frame_hw = hw
+        elif n_objects is not None and n_objects > (self._o_cap or 0):
+            from vosesam_tpu.memory.rings import grow_objects
+
+            self.state = self.state.replace(
+                memory=grow_objects(self.state.memory, n_objects))
+            self._o_cap = n_objects
 
     def track(
         self,
@@ -163,19 +193,20 @@ class Tracker:
     ):
         """base_tracker.py:97-212. Returns (final_mask (H, W) uint8 with the
         ORIGINAL palette labels, logits, painted_image, scores list)."""
-        self._ensure_state(frame)
-        o = self.cfg.xmem.max_objects
         fj = jnp.asarray(frame)
 
         if first_frame_annotation is not None:
             if self._frames_tracked > 0:
                 self._mid_video_add = True
             onehot, new_labels = self.mapper.convert_mask(first_frame_annotation)
-            n = onehot.shape[0]
-            if n > o:
+            n = self.mapper.num_objects     # highest assigned (contiguous) slot
+            budget = self.cfg.xmem.max_objects
+            if n > budget:
                 raise ValueError(
-                    f"{n} objects exceed the static budget max_objects={o}"
+                    f"{n} objects exceed the static budget max_objects={budget}"
                 )
+            self._ensure_state(frame, n_objects=n)
+            o = self._o_cap
             mask = np.zeros((o,) + frame.shape[:2], np.float32)
             valid = np.zeros((o,), bool)
             for i, lbl in enumerate(new_labels):
@@ -183,9 +214,10 @@ class Tracker:
                 valid[lbl - 1] = True
             self.state, indexed, logits, scores, painted = track_first_frame(
                 self.xmem_params, self.state, fj, jnp.asarray(mask),
-                jnp.asarray(valid), self.cfg, self.paint,
+                jnp.asarray(valid), self._session_cfg(None), self.paint,
             )
         else:
+            self._ensure_state(frame)
             self.state, indexed, logits, scores, painted = track_frame(
                 self.xmem_params, self.sam_params, self.state, fj,
                 self._track_cfg(), self.paint,

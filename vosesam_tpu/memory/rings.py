@@ -82,6 +82,36 @@ class MemoryState:
     obj_valid: jax.Array   # (O,) bool — which object slots are live
 
 
+def grow_objects(mem: MemoryState, o_new: int) -> MemoryState:
+    """Widen the object axis to `o_new` slots (zero/False padding).
+
+    Supports per-video object-axis sizing: Tracker allocates state at the
+    seeded object count (compute scales with the video's real N, like the
+    reference's dynamic tensors) and grows it here on a mid-video
+    annotation that introduces new objects. New slots are invalid
+    everywhere, so results for existing objects are unchanged."""
+    o = mem.obj_valid.shape[0]
+    if o_new <= o:
+        return mem
+    pad = o_new - o
+
+    def pad0(a: jax.Array) -> jax.Array:
+        return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+
+    return MemoryState(
+        work=mem.work.replace(
+            values=pad0(mem.work.values),
+            value_valid=pad0(mem.work.value_valid),
+        ),
+        long=mem.long.replace(
+            values=pad0(mem.long.values),
+            value_valid=pad0(mem.long.value_valid),
+        ),
+        hidden=pad0(mem.hidden),
+        obj_valid=pad0(mem.obj_valid),
+    )
+
+
 def init_memory(
     mem_cfg: MemoryConfig,
     xmem_cfg: XMemConfig,
