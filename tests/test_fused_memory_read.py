@@ -161,3 +161,44 @@ def test_fused_shared_empty_memory(rng):
     assert np.isfinite(np.asarray(out)).all()
     np.testing.assert_array_equal(np.asarray(out), 0.0)
     np.testing.assert_array_equal(np.asarray(use), 0.0)
+
+
+def test_fused_shared_live_end_skip(rng):
+    """live_end tile-skipping must be bit-identical to a full scan when all
+    valid slots sit below live_end (the manager's concat-layout contract)."""
+    o, m, q, cv = 2, 1600, 200, 64
+    mk, ms, qk, qe, mv, kv, vv, shared = _mk_shared_case(
+        rng, o=o, m=m, q=q, cv=cv)
+    # prefix occupancy: only the first `live` slots may be valid
+    live = 700
+    prefix = shared & (jnp.arange(m) < live)
+    full_out, full_use = fused_memory_read_shared(
+        mk, ms, qk, qe, mv, prefix, 16, return_usage=True,
+        q_tile=104, m_tile=512, interpret=True,
+    )
+    skip_out, skip_use = fused_memory_read_shared(
+        mk, ms, qk, qe, mv, prefix, 16, return_usage=True,
+        live_end=jnp.int32(live), q_tile=104, m_tile=512, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(skip_out), np.asarray(full_out))
+    np.testing.assert_array_equal(np.asarray(skip_use), np.asarray(full_use))
+    # and against the XLA chain
+    ref_out, _ = read_memory_multiobject(
+        mk, ms, mv, qk, qe, kv & (jnp.arange(m) < live),
+        jnp.broadcast_to(prefix[None], (o, m)), 16, return_usage=True
+    )
+    np.testing.assert_allclose(np.asarray(skip_out), np.asarray(ref_out),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_fused_shared_live_end_zero(rng):
+    """live_end=0 (empty arena) degenerates to the zero readout."""
+    mk, ms, qk, qe, mv, kv, vv, _ = _mk_shared_case(rng, o=2, m=640, q=32)
+    none = jnp.zeros((640,), bool)
+    out, use = fused_memory_read_shared(
+        mk, ms, qk, qe, mv, none, 8, return_usage=True,
+        live_end=jnp.int32(0), interpret=True,
+    )
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_array_equal(np.asarray(out), 0.0)
+    np.testing.assert_array_equal(np.asarray(use), 0.0)

@@ -108,9 +108,15 @@ def match_memory(
         # so one threshold/exp pass serves every object.
         from vosesam_tpu.ops.pallas.memory_read import fused_memory_read_shared
 
+        # All valid slots live below lt_capacity + work.count in the concat
+        # layout (work validity is a count-prefix, LT sits in [0, nl)) — the
+        # kernel skips memory tiles past this, so read cost tracks the true
+        # occupancy instead of the static arena capacity.
+        live_end = (lt.capacity if cfg.enable_long_term else 0) + work.count
         readout_flat, usage = fused_memory_read_shared(
             mk, ms, q, e, mv, kv & vv[0], cfg.top_k,
-            return_usage=True, interpret=jax.default_backend() != "tpu",
+            return_usage=True, live_end=live_end,
+            interpret=jax.default_backend() != "tpu",
         )
     elif cfg.fused_read and not cfg.top_k_approx and cfg.top_k <= 32:
         from vosesam_tpu.ops.pallas.memory_read import fused_memory_read

@@ -151,6 +151,7 @@ def _memory_read_kernel(
 
 
 def _memory_read_shared_kernel(
+    live_ref,    # SMEM (1,) int32 — scalar-prefetch: first all-dead slot
     sim_ref,     # (TQ, TM) fp32 — shared similarity tile
     valid_ref,   # (1, TM) fp32 — SHARED slot validity (all objects)
     mv_ref,      # (O, TM, Cv) — all object values for this memory tile
@@ -163,6 +164,7 @@ def _memory_read_shared_kernel(
     acc_ref,     # scratch (TQ, O*Cv) fp32
     *,
     n_m: int,
+    m_tile: int,
     top_k: int,
     q_true: int,
 ):
@@ -170,15 +172,21 @@ def _memory_read_shared_kernel(
     the same slot set, so the threshold phase, the row max/denominator, and
     the admitted-affinity `e` are computed ONCE per query tile instead of
     once per object; the per-object work collapses to O unrolled MXU dots
-    against one shared `e`. Grid is (n_q, 2*n_m) — independent of O."""
+    against one shared `e`. Grid is (n_q, 2*n_m) — independent of O.
+
+    Dynamic-occupancy skip: tiles whose first slot is >= live_ref[0] hold no
+    valid entries (work slots are a count-prefix, the LT arena sits below
+    nl < live_end — manager.match_memory), so both phases skip their compute
+    for those tiles (their contribution is exactly zero: all-invalid slots
+    are NEG_INF-masked). The static arena price is then paid only in grid
+    steps, not in VPU/MXU work — the read cost tracks the true occupancy."""
     s = pl.program_id(1)
     qi = pl.program_id(0)
     j = s % n_m
     phase = s // n_m
+    tile_live = j * m_tile < live_ref[0]
 
-    valid = valid_ref[0].astype(jnp.float32)[None, :]
-    sim = jnp.where(valid > 0.5, sim_ref[:], NEG_INF)
-    tq = sim.shape[0]
+    tq = sim_ref.shape[0]
     n_obj, _, cv = mv_ref.shape
 
     @pl.when(phase == 0)
@@ -188,18 +196,24 @@ def _memory_read_shared_kernel(
             rm_ref[:] = jnp.full((tq, 1), NEG_INF, jnp.float32)
             run_ref[:] = jnp.full_like(run_ref, NEG_INF)
 
-        rm_ref[:] = jnp.maximum(rm_ref[:], jnp.max(sim, axis=-1, keepdims=True))
-        x = sim
-        cand = jnp.full((tq, 32), NEG_INF, jnp.float32)
-        lanes32 = jax.lax.broadcasted_iota(jnp.int32, (tq, 32), 1)
-        for i in range(top_k):
-            mx = jnp.max(x, axis=-1, keepdims=True)
-            cand = jnp.where(lanes32 == 31 - i, mx, cand)
-            x = jnp.where(x >= mx, NEG_INF, x)
-        merged = _bitonic_merge_desc(jnp.concatenate([run_ref[:], cand], axis=1))
-        run_ref[:] = merged[:, :32]
+        @pl.when(tile_live)
+        def _():
+            valid = valid_ref[0].astype(jnp.float32)[None, :]
+            sim = jnp.where(valid > 0.5, sim_ref[:], NEG_INF)
+            rm_ref[:] = jnp.maximum(
+                rm_ref[:], jnp.max(sim, axis=-1, keepdims=True))
+            x = sim
+            cand = jnp.full((tq, 32), NEG_INF, jnp.float32)
+            lanes32 = jax.lax.broadcasted_iota(jnp.int32, (tq, 32), 1)
+            for i in range(top_k):
+                mx = jnp.max(x, axis=-1, keepdims=True)
+                cand = jnp.where(lanes32 == 31 - i, mx, cand)
+                x = jnp.where(x >= mx, NEG_INF, x)
+            merged = _bitonic_merge_desc(
+                jnp.concatenate([run_ref[:], cand], axis=1))
+            run_ref[:] = merged[:, :32]
 
-        usage_ref[0, 0] = jnp.zeros((1, sim.shape[1]), jnp.float32)
+        usage_ref[0, 0] = jnp.zeros((1, m_tile), jnp.float32)
 
         @pl.when(j == n_m - 1)
         def _():
@@ -215,23 +229,32 @@ def _memory_read_shared_kernel(
         def _():
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        admit = (sim >= th_ref[:]) & (valid > 0.5)
-        e = jnp.where(admit, jnp.exp(sim - rm_ref[:]), 0.0)
-        row = qi * tq + jax.lax.broadcasted_iota(jnp.int32, (tq, 1), 0)
-        e = jnp.where(row < q_true, e, 0.0)
-        linv = 1.0 / jnp.maximum(l_ref[:], 1e-30)
-        for oi in range(n_obj):
-            acc_ref[:, oi * cv:(oi + 1) * cv] += jnp.dot(
-                e, mv_ref[oi].astype(jnp.float32),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-        # per-object usage is identical under shared validity; the caller
-        # multiplies the single column-sum by O (memory_util.py:62-63)
-        usage_ref[0, 0] = jnp.sum(e * linv, axis=0, keepdims=True)
+        @pl.when(tile_live)
+        def _():
+            valid = valid_ref[0].astype(jnp.float32)[None, :]
+            sim = jnp.where(valid > 0.5, sim_ref[:], NEG_INF)
+            admit = (sim >= th_ref[:]) & (valid > 0.5)
+            e = jnp.where(admit, jnp.exp(sim - rm_ref[:]), 0.0)
+            row = qi * tq + jax.lax.broadcasted_iota(jnp.int32, (tq, 1), 0)
+            e = jnp.where(row < q_true, e, 0.0)
+            linv = 1.0 / jnp.maximum(l_ref[:], 1e-30)
+            for oi in range(n_obj):
+                acc_ref[:, oi * cv:(oi + 1) * cv] += jnp.dot(
+                    e, mv_ref[oi].astype(jnp.float32),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            # per-object usage is identical under shared validity; the caller
+            # multiplies the single column-sum by O (memory_util.py:62-63)
+            usage_ref[0, 0] = jnp.sum(e * linv, axis=0, keepdims=True)
+
+        @pl.when(jnp.logical_not(tile_live))
+        def _():
+            usage_ref[0, 0] = jnp.zeros((1, m_tile), jnp.float32)
 
         @pl.when(j == n_m - 1)
         def _():
+            linv = 1.0 / jnp.maximum(l_ref[:], 1e-30)
             for oi in range(n_obj):
                 out_ref[oi] = acc_ref[:, oi * cv:(oi + 1) * cv] * linv
 
@@ -245,6 +268,7 @@ def fused_memory_read_shared(
     valid: jax.Array,           # (M,) bool — shared slot validity
     top_k: int,
     return_usage: bool = False,
+    live_end: Optional[jax.Array] = None,  # () int32 — all valid slots < this
     q_tile: int = 416,
     m_tile: int = 512,
     interpret: bool = False,
@@ -255,6 +279,13 @@ def fused_memory_read_shared(
     live and admits the same slots — the MemoryConfig.live_objects contract
     (memory/manager.py): objects registered before any memory commit, so
     adds/consolidation keep validity rows identical (manager.py:161,224).
+
+    `live_end` (traced scalar) promises `valid[i] == False` for all
+    i >= live_end; memory tiles past it are skipped (compute AND tile
+    copies — their blocks alias the last live tile), so the read costs
+    what the arena actually HOLDS, not its static capacity. None = scan
+    everything. Results are bit-identical either way.
+
     Returns ((O, Q, Cv) fp32 readout, (M,) usage summed over objects)."""
     o, m, cv = mv.shape
     q, ck = qk.shape
@@ -287,33 +318,41 @@ def fused_memory_read_shared(
     sim_p = jnp.pad(sim, ((0, qp - q), (0, mp - m)), constant_values=NEG_INF)
     valid_p = jnp.pad(valid.astype(jnp.float32), (0, mp - m))[None, :]
     mv_p = jnp.pad(mv, ((0, 0), (0, mp - m), (0, 0)))
+    live_arr = jnp.asarray(
+        m if live_end is None else live_end, jnp.int32).reshape(1)
+
+    def _last_live(live) -> jax.Array:
+        # index of the last tile holding any slot < live_end (>= 0)
+        return jnp.maximum((live[0] + m_tile - 1) // m_tile - 1, 0)
+
+    def _j_eff(s, live) -> jax.Array:
+        # dead tiles alias the last live tile: consecutive equal block
+        # indices elide the HBM->VMEM copy entirely
+        return jnp.minimum(s % n_m, _last_live(live))
 
     kernel = functools.partial(
-        _memory_read_shared_kernel, n_m=n_m, top_k=k, q_true=q
+        _memory_read_shared_kernel, n_m=n_m, m_tile=m_tile, top_k=k, q_true=q
     )
-    out, usage3 = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(n_q, 2 * n_m),
         in_specs=[
-            pl.BlockSpec((tq, m_tile), lambda qi, s, _n=n_m: (qi, s % _n)),
-            pl.BlockSpec((1, m_tile), lambda qi, s, _n=n_m: (0, s % _n)),
+            pl.BlockSpec((tq, m_tile), lambda qi, s, live: (qi, _j_eff(s, live))),
+            pl.BlockSpec((1, m_tile), lambda qi, s, live: (0, _j_eff(s, live))),
             # pin the mv tile to block 0 during phase A (consecutive equal
             # indices elide the copy) — phase A never reads it
             pl.BlockSpec(
                 (o, m_tile, cv),
-                lambda qi, s, _n=n_m: (0, (s // _n) * (s % _n), 0),
+                lambda qi, s, live, _n=n_m: (
+                    0, (s // _n) * _j_eff(s, live), 0),
             ),
         ],
         out_specs=[
-            pl.BlockSpec((o, tq, cv), lambda qi, s: (0, qi, 0)),
+            pl.BlockSpec((o, tq, cv), lambda qi, s, live: (0, qi, 0)),
             pl.BlockSpec(
                 (1, 1, 1, m_tile),
-                lambda qi, s, _n=n_m: (qi, s // _n, 0, s % _n),
+                lambda qi, s, live, _n=n_m: (qi, s // _n, 0, s % _n),
             ),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((o, qp, cv), jnp.float32),
-            jax.ShapeDtypeStruct((n_q, 2, 1, mp), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((tq, 32), jnp.float32),       # running top-32
@@ -322,8 +361,16 @@ def fused_memory_read_shared(
             pltpu.VMEM((tq, 1), jnp.float32),        # l
             pltpu.VMEM((tq, o * cv), jnp.float32),   # acc
         ],
+    )
+    out, usage3 = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((o, qp, cv), jnp.float32),
+            jax.ShapeDtypeStruct((n_q, 2, 1, mp), jnp.float32),
+        ],
         interpret=interpret,
-    )(sim_p, valid_p, mv_p)
+    )(live_arr, sim_p, valid_p, mv_p)
 
     out = out[:, :q]
     if not return_usage:
