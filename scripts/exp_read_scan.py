@@ -78,6 +78,16 @@ def main():
     scan_time("xla approx  ", lambda q: read_memory_multiobject(
         mk, ms, mv, q, qe, kv, vv, K, return_usage=True, approx=True))
 
+    # live_end occupancy sweep (O=2 production shape): how much of the
+    # remaining cost scales with live tiles vs the fixed sim matmul +
+    # (Q, M) HBM round-trip that still covers the full static capacity
+    for frac in (1.0, 0.75, 0.5, 0.25):
+        le = jnp.int32(int(M * frac))
+        scan_time(f"shared O=2 live={frac:4.2f}",
+                  lambda q, _le=le: fused_memory_read_shared(
+                      mk, ms, q, qe, mv[:2], kv, K, return_usage=True,
+                      live_end=_le))
+
 
 if __name__ == "__main__":
     main()
