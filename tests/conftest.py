@@ -37,6 +37,18 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_runtest_setup(item):
+    # XLA:CPU can abort during a late BIG compile after hundreds of jits in
+    # one process (observed 2026-08-18, deterministic at
+    # test_training.py::test_loss_decreases ~210 jits in when quick+slow run
+    # in a single pytest invocation). Dropping the in-memory tracing /
+    # executable caches before each slow-marked (big-compile) test releases
+    # that accumulated compiler state; recompiles stay cheap via the
+    # persistent on-disk cache above.
+    if item.get_closest_marker("slow") is not None:
+        jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
