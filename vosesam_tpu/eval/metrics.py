@@ -18,7 +18,6 @@ instead of cv2.disk structuring elements."""
 
 from __future__ import annotations
 
-import math
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -54,40 +53,55 @@ def frame_iou(pred: np.ndarray, gt: np.ndarray) -> float:
 # ----------------------------------------------------------------------- F
 
 def seg2bmap(seg: np.ndarray) -> np.ndarray:
-    """1-px boundary map of a binary segmentation (errorfunctions.py:86-144
-    semantics: pixels whose right/down neighbor differs, with the border
-    handled so the map stays within the image)."""
+    """1-px boundary map, bit-exact to the DAVIS/Martin kernel
+    (errorfunctions.py:104-131): each pixel is compared against its E, S
+    and SE neighbors (both sides of an edge become boundary); the last row
+    keeps only the E comparison, the last column only the S comparison,
+    and the bottom-right corner is always 0."""
     seg = seg.astype(bool)
-    b = np.zeros_like(seg)
-    b[:, :-1] |= seg[:, :-1] ^ seg[:, 1:]
-    b[:-1, :] |= seg[:-1, :] ^ seg[1:, :]
-    return b & seg  # boundary pixels on the foreground side (1-px, in-image)
+    e = np.zeros_like(seg)
+    s = np.zeros_like(seg)
+    se = np.zeros_like(seg)
+    e[:, :-1] = seg[:, 1:]
+    s[:-1, :] = seg[1:, :]
+    se[:-1, :-1] = seg[1:, 1:]
+
+    b = (seg ^ e) | (seg ^ s) | (seg ^ se)
+    b[-1, :] = seg[-1, :] ^ e[-1, :]
+    b[:, -1] = seg[:, -1] ^ s[:, -1]
+    b[-1, -1] = False
+    return b
 
 
-def _disk_dilate(mask: np.ndarray, radius: int) -> np.ndarray:
-    """Binary dilation with a disk structuring element (vectorized shifts)."""
-    if radius <= 0:
-        return mask.astype(bool)
-    out = mask.astype(bool).copy()
-    h, w = mask.shape
-    for dy in range(-radius, radius + 1):
-        span = int(math.floor(math.sqrt(radius * radius - dy * dy)))
-        rolled_y = np.zeros_like(out)
-        ys, ye = max(0, -dy), min(h, h - dy)
-        rolled_y[ys:ye] = mask[ys + dy:ye + dy]
-        for dx in range(-span, span + 1):
-            rolled = np.zeros_like(rolled_y)
-            xs, xe = max(0, -dx), min(w, w - dx)
-            rolled[:, xs:xe] = rolled_y[:, xs + dx:xe + dx]
-            out |= rolled
-    return out
+def _disk_footprint(radius: float) -> np.ndarray:
+    """skimage.morphology.disk, exact formula: grid offsets arange(-r, r+1)
+    (half-integer offsets when r is non-integer), kept where x^2+y^2 <= r^2."""
+    L = np.arange(-radius, radius + 1)
+    X, Y = np.meshgrid(L, L)
+    return (X * X + Y * Y) <= radius * radius
+
+
+def _disk_dilate(mask: np.ndarray, radius: float) -> np.ndarray:
+    """Binary dilation with the skimage disk structuring element
+    (errorfunctions.py:30-31 uses skimage binary_dilation + disk)."""
+    mask = mask.astype(bool)
+    if radius < 1:
+        return mask
+    from scipy import ndimage
+
+    return ndimage.binary_dilation(mask, structure=_disk_footprint(radius))
 
 
 def db_eval_boundary(
     fg_mask: np.ndarray, gt_mask: np.ndarray, bound_th: float = 0.008
 ) -> float:
-    """DAVIS boundary F-measure (errorfunctions.py:6-61)."""
-    bound_pix = int(math.ceil(bound_th * np.linalg.norm(fg_mask.shape)))
+    """DAVIS boundary F-measure, exact to errorfunctions.py:6-61 including
+    the bound_pix rule (bound_th taken verbatim when >= 1, else
+    ceil(bound_th * diag)) and the one-empty-side precision/recall cases."""
+    bound_pix = (
+        bound_th if bound_th >= 1
+        else float(np.ceil(bound_th * np.linalg.norm(fg_mask.shape)))
+    )
     fg_b = seg2bmap(fg_mask)
     gt_b = seg2bmap(gt_mask)
     fg_dil = _disk_dilate(fg_b, bound_pix)
@@ -95,12 +109,15 @@ def db_eval_boundary(
 
     n_fg = fg_b.sum()
     n_gt = gt_b.sum()
-    if n_fg == 0 and n_gt == 0:
-        return 1.0
-    if n_fg == 0 or n_gt == 0:
-        return 0.0
-    precision = float((fg_b & gt_dil).sum() / n_fg)
-    recall = float((gt_b & fg_dil).sum() / n_gt)
+    if n_fg == 0 and n_gt > 0:
+        precision, recall = 1.0, 0.0
+    elif n_fg > 0 and n_gt == 0:
+        precision, recall = 0.0, 1.0
+    elif n_fg == 0 and n_gt == 0:
+        precision, recall = 1.0, 1.0
+    else:
+        precision = float((fg_b & gt_dil).sum() / n_fg)
+        recall = float((gt_b & fg_dil).sum() / n_gt)
     if precision + recall == 0:
         return 0.0
     return 2 * precision * recall / (precision + recall)

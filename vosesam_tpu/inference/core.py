@@ -8,15 +8,28 @@ pure, jit-compiled functions:
   - `step_with_mask(params, state, frame, mask, mask_valid)` — frame 0 and
     interactive corrections (GT-mask injection, inference_core.py:99-113)
 
-Scheduling (inference_core.py:55-61), with deep_update_every = -1 (sync
-mode — the shipped config):
+Scheduling (inference_core.py:55-61):
   is_mem_frame     = (ti - last_mem_ti >= mem_every) or mask-given
+
+Sync mode (deep_update_every = -1, the shipped config):
   is_deep_update   = is_mem_frame
   is_normal_update = not is_mem_frame
 On normal frames the decoder GRU updates the sensory hidden state; on memory
 frames the value-encoder's reinforcer does (and the frame's key/value tokens
-enter working memory). Inside jit the decision is a traced scalar handled
-with lax.cond so only one expensive branch executes per step.
+enter working memory).
+
+Async mode (deep_update_every >= 0, inference_core.py:18,27,57-61):
+  is_normal_update is ALWAYS true — the decoder GRU updates the hidden state
+  on every segmented frame, including memory frames (applied BEFORE
+  encode_value sees it); the value-encoder's reinforcer additionally replaces
+  it only on memory frames where ti - last_deep_update_ti >= deep_update_every
+  (last_deep_update_ti starts at -deep_update_every, so the schedule is armed
+  from frame 0). Note the reference evaluates the deep-update counter every
+  frame but only CONSUMES it inside the mem-frame branch, so deep updates
+  effectively fire on the first mem frame at/after the scheduled tick.
+
+Inside jit the decisions are traced scalars handled with lax.cond/where so
+only one expensive branch executes per step.
 """
 
 from __future__ import annotations
@@ -53,11 +66,14 @@ def init_tracker_state(cfg: FrameworkConfig, frame_hw: Tuple[int, int]) -> Track
     mem = init_memory(
         cfg.memory, cfg.xmem, (ph // 16, pw // 16), dtype=jnp.dtype(cfg.dtype)
     )
+    # Async schedule arms from frame 0: last_deep_update_ti = -deep_update_every
+    # (inference_core.py:26-27); in sync mode the field is unused.
+    due = cfg.memory.deep_update_every
     return TrackerState(
         memory=mem,
         curr_ti=jnp.int32(-1),
         last_mem_ti=jnp.int32(0),
-        last_deep_update_ti=jnp.int32(0),
+        last_deep_update_ti=jnp.int32(-due if due >= 0 else 0),
     )
 
 
@@ -70,24 +86,44 @@ def _encode_and_read(params, cfg, state, frame_p):
 
 def _maybe_memorize(
     params, cfg, state: TrackerState, frame_p, feats, key, shrinkage, selection,
-    prob_no_bg, hidden_normal, is_mem_frame, obj_valid, hw,
+    prob_no_bg, hidden_normal, is_mem_frame, deep_due, obj_valid, hw,
 ) -> TrackerState:
     """lax.cond wrapper for the memory-frame branch (encode_value +
-    add_memory + reinforced hidden), vs the normal branch (decoder hidden)."""
+    add_memory + reinforced hidden), vs the normal branch (decoder hidden).
+
+    `deep_due` is the traced async-schedule scalar (ti - last_deep_update_ti
+    >= deep_update_every); in sync mode (deep_update_every < 0) it is ignored
+    and every memory frame deep-updates (inference_core.py:57-61). In async
+    mode the caller has already applied the decoder hidden to state.memory
+    (is_normal_update is unconditionally true there) and passes
+    hidden_normal=None."""
+    sync = cfg.memory.deep_update_every < 0
 
     def mem_branch(st: TrackerState) -> TrackerState:
         value, hidden_deep = xnet.encode_value(
             params, frame_p, feats.f16, st.memory.hidden, prob_no_bg,
             obj_valid, cfg.xmem, is_deep_update=True,
         )
-        mem = st.memory.replace(hidden=hidden_deep if hidden_deep is not None else st.memory.hidden)
+        if hidden_deep is None:
+            new_hidden = st.memory.hidden
+            new_deep_ti = st.last_deep_update_ti
+        elif sync:
+            new_hidden = hidden_deep
+            new_deep_ti = st.curr_ti
+        else:
+            # encode_value's value output is independent of is_deep_update
+            # (network.py:72-87: the flag only gates the reinforcer), so
+            # computing the reinforcer and selecting is numerically exact.
+            new_hidden = jnp.where(deep_due, hidden_deep, st.memory.hidden)
+            new_deep_ti = jnp.where(deep_due, st.curr_ti, st.last_deep_update_ti)
+        mem = st.memory.replace(hidden=new_hidden)
         mem = manager.add_memory(
             mem, key, shrinkage, selection, value, obj_valid, cfg.memory, hw
         )
         return st.replace(
             memory=mem,
             last_mem_ti=st.curr_ti,
-            last_deep_update_ti=st.curr_ti,
+            last_deep_update_ti=new_deep_ti,
         )
 
     def normal_branch(st: TrackerState) -> TrackerState:
@@ -129,9 +165,20 @@ def step(
         state.curr_ti - state.last_mem_ti >= cfg.memory.mem_every,
         jnp.logical_not(end),
     )
+    if cfg.memory.deep_update_every < 0:       # sync mode
+        hidden_normal, deep_due = hidden_dec, jnp.bool_(True)
+    else:                                      # async: decoder GRU every frame
+        if hidden_dec is not None:
+            state = state.replace(memory=state.memory.replace(hidden=hidden_dec))
+        hidden_normal = None
+        deep_due = jnp.logical_and(
+            state.curr_ti - state.last_deep_update_ti
+            >= cfg.memory.deep_update_every,
+            jnp.logical_not(end),
+        )
     state = _maybe_memorize(
         params, cfg, state, frame_p, feats, key, shrinkage, selection,
-        prob_no_bg, hidden_dec, is_mem_frame, obj_valid, hw,
+        prob_no_bg, hidden_normal, is_mem_frame, deep_due, obj_valid, hw,
     )
     return (
         state,
@@ -190,9 +237,20 @@ def step_with_mask(
     )
     state = state.replace(memory=state.memory.replace(hidden=hidden))
 
+    # Mask frames are always memory frames; in async mode the reinforcer
+    # still only fires when the deep-update counter has elapsed
+    # (inference_core.py:57-61 — frame 0 always qualifies since the counter
+    # starts at -deep_update_every).
+    if cfg.memory.deep_update_every < 0:
+        deep_due = jnp.bool_(True)
+    else:
+        deep_due = (
+            state.curr_ti - state.last_deep_update_ti
+            >= cfg.memory.deep_update_every
+        )
     state = _maybe_memorize(
         params, cfg, state, frame_p, feats, key, shrinkage, selection,
-        prob_with_bg[1:], None, jnp.bool_(True), obj_valid_new, hw,
+        prob_with_bg[1:], None, jnp.bool_(True), deep_due, obj_valid_new, hw,
     )
     return (
         state,

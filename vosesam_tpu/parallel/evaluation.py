@@ -88,3 +88,189 @@ def make_batched_step(cfg: FrameworkConfig, mesh: Mesh, with_refinement: Optiona
         check_vma=False,
     )
     return jax.jit(step)
+
+
+def make_batched_first_step(cfg: FrameworkConfig, mesh: Mesh):
+    """GT-injection step for a lockstep video batch — NO refinement (the
+    reference skips SAM on annotated frames, base_tracker.py:121-131).
+
+    step(xmem_params, states, frames (B,H,W,3), masks (B,O,H,W), valid (B,O))
+      -> (states, indexed (B,H,W), scores (B,O))"""
+    da = cfg.parallel.data_axis
+
+    def device_body(xmem_params, states, frames, masks, mask_valid):
+        def one(state, frame, m, mv):
+            state, prob, _ = core.step_with_mask(
+                xmem_params, state, frame, m, mv, cfg)
+            _, indexed = masks_from_prob(prob, cfg.xmem.max_objects)
+            return state, indexed, xmem_object_scores(prob[1:])
+
+        return jax.lax.map(
+            lambda args: one(*args), (states, frames, masks, mask_valid))
+
+    step = shard_map(
+        device_body, mesh=mesh,
+        in_specs=(P(), P(da), P(da), P(da), P(da)),
+        out_specs=(P(da), P(da), P(da)),
+        check_vma=False,
+    )
+    return jax.jit(step)
+
+
+def make_batched_prop_step(cfg: FrameworkConfig, mesh: Mesh,
+                           with_refinement: Optional[bool] = None):
+    """Propagation step for a lockstep video batch (XMem + optional SAM
+    refinement — the same chain as inference/tracker.py track_frame).
+
+    step(xmem_params, sam_params, states, frames (B,H,W,3))
+      -> (states, indexed (B,H,W), scores (B,O))"""
+    da = cfg.parallel.data_axis
+    refine = (cfg.refinement.use_refinement
+              if with_refinement is None else with_refinement)
+
+    def device_body(xmem_params, sam_params, states, frames):
+        def one(state, frame):
+            state, prob, logits = core.step(xmem_params, state, frame, cfg)
+            pm, indexed = masks_from_prob(prob, cfg.xmem.max_objects)
+            scores = xmem_object_scores(prob[1:])
+            if refine:
+                emb = predictor.encode_image(sam_params, frame, cfg.sam)
+                res = refine_masks(
+                    sam_params, emb, pm, logits[1:], scores,
+                    state.memory.obj_valid, cfg,
+                )
+                indexed, scores = res.indexed, res.scores
+            return state, indexed, scores
+
+        return jax.lax.map(lambda args: one(*args), (states, frames))
+
+    step = shard_map(
+        device_body, mesh=mesh,
+        in_specs=(P(), P(), P(da), P(da)),
+        out_specs=(P(da), P(da), P(da)),
+        check_vma=False,
+    )
+    return jax.jit(step)
+
+
+class BatchedGenerator:
+    """Dataset-level lockstep multi-video generator over the `data` mesh axis.
+
+    The reference evaluates LVOS one video at a time on one GPU
+    (tools/runner.py:226-284); this drives B videos in lockstep, sharded
+    whole-videos-per-device (per-sequence memory state, zero cross-device
+    traffic — SURVEY §2.14 / BASELINE config 5, 'LVOS batched across a
+    slice').
+
+    Semantics vs the sequential Tracker path:
+      - uneven lengths: all videos advance to the longest length; finished
+        videos keep stepping on their repeated last frame in their own state
+        (results past a video's true length are DROPPED, so its outputs are
+        identical to stopping at its last frame — memory writes on dead
+        frames never feed back into kept outputs);
+      - per-video labels: each video's palette labels are remapped to
+        contiguous slots by its own MaskMapper and written back on output
+        (utils/mask_mapper.py — same as Tracker.track);
+      - frame 0 injects the template with NO refinement, propagation frames
+        refine per cfg.refinement (same as track_first_frame/track_frame);
+      - batch padding: B is padded to a multiple of the data-axis size with
+        copies of video 0; padded lanes are dropped.
+
+    All videos in one run() must share (H, W) — group by resolution upstream
+    (eval/runner.py does)."""
+
+    def __init__(self, xmem_params, sam_params, cfg: FrameworkConfig,
+                 mesh: Optional[Mesh] = None) -> None:
+        from vosesam_tpu.parallel import mesh as meshlib
+
+        self.xmem_params = xmem_params
+        self.sam_params = sam_params
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else meshlib.make_mesh(cfg.parallel)
+        self._meshlib = meshlib
+        self.first_step = make_batched_first_step(cfg, self.mesh)
+        self.prop_step = make_batched_prop_step(cfg, self.mesh)
+
+    def run(self, videos, templates):
+        """videos: list of per-video frame lists ((H, W, 3) uint8, equal
+        H, W across videos); templates: list of (H, W) indexed uint8 masks.
+        Returns a list of {"masks": [(H, W) uint8 ...], "scores": [list ...]}
+        (one mask/score-list per true frame of each video)."""
+        import numpy as np
+
+        from vosesam_tpu.utils.mask_mapper import MaskMapper
+
+        assert len(videos) == len(templates) > 0
+        hw = videos[0][0].shape[:2]
+        for v in videos:
+            if v[0].shape[:2] != hw:
+                raise ValueError(
+                    "all videos in one batched run must share (H, W); "
+                    "group by resolution first")
+
+        dp = self.mesh.devices.shape[0]
+        n_true = len(videos)
+        b = -(-n_true // dp) * dp
+        pad_idx = list(range(n_true)) + [0] * (b - n_true)
+        lens = [len(videos[i]) for i in pad_idx]
+        t_max = max(lens)
+        o = self.cfg.xmem.max_objects
+
+        mappers = []
+        masks0 = np.zeros((b, o) + hw, np.float32)
+        valid0 = np.zeros((b, o), bool)
+        for lane, vi in enumerate(pad_idx):
+            mapper = MaskMapper()
+            onehot, new_labels = mapper.convert_mask(templates[vi])
+            if mapper.num_objects > o:
+                raise ValueError(
+                    f"video {vi}: {mapper.num_objects} objects exceed "
+                    f"max_objects={o}")
+            for i, lbl in enumerate(new_labels):
+                masks0[lane, lbl - 1] = onehot[i]
+                valid0[lane, lbl - 1] = True
+            mappers.append(mapper)
+
+        states = init_batched_state(self.cfg, hw, b)
+        states = self._meshlib.shard_batch(states, self.mesh, self.cfg.parallel)
+
+        def frames_at(t):
+            batch = np.stack(
+                [videos[vi][min(t, lens[lane] - 1)]
+                 for lane, vi in enumerate(pad_idx)])
+            return self._meshlib.shard_batch(
+                jnp.asarray(batch), self.mesh, self.cfg.parallel)
+
+        per_t_indexed, per_t_scores = [], []
+        pending = None  # double-buffer: sync t-1 while t executes
+
+        def drain(p):
+            per_t_indexed.append(np.asarray(p[0]))
+            per_t_scores.append(np.asarray(p[1]))
+
+        for t in range(t_max):
+            if t == 0:
+                states, indexed, scores = self.first_step(
+                    self.xmem_params, states, frames_at(0),
+                    jnp.asarray(masks0), jnp.asarray(valid0))
+            else:
+                states, indexed, scores = self.prop_step(
+                    self.xmem_params, self.sam_params, states, frames_at(t))
+            if pending is not None:
+                drain(pending)
+            pending = (indexed, scores)
+        drain(pending)
+
+        out = []
+        for lane in range(n_true):
+            mapper = mappers[lane]
+            live_slots = sorted(mapper.remappings.values())
+            masks, scores = [], []
+            for t in range(len(videos[lane])):
+                idx = per_t_indexed[t][lane]
+                masks.append(mapper.remap_index_mask(idx).astype(np.uint8))
+                present = set(np.unique(idx).tolist())
+                slots = [s for s in live_slots if s in present]
+                scores.append([float(per_t_scores[t][lane][s - 1]) for s in slots])
+            out.append({"masks": masks, "scores": scores})
+        return out
