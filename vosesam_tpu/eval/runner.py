@@ -196,21 +196,55 @@ def run_model_on_longvos_set(
     model,
     dataset: LongVideoDataset,
     max_videos: Optional[int] = None,
+    batched=None,
 ) -> None:
-    """runner.py:226-284 — no metrics; masks saved for external evaluation."""
+    """runner.py:226-284 — no metrics; masks saved for external evaluation.
+
+    `batched`: a parallel.evaluation.BatchedGenerator — the dataset is then
+    evaluated in lockstep batches sharded whole-videos-per-device over the
+    mesh's `data` axis (BASELINE config 5, 'LVOS batched across a slice').
+    Videos are grouped by resolution (one batched run per distinct (H, W));
+    uneven lengths inside a group are handled by the generator. Output mask
+    PNGs are identical in layout (and, given the same params/config, in
+    content — tests/test_batched_runner.py) to the sequential path."""
     run_dir = _result_dir(runname)
+    infos = []
     for vi, info in enumerate(dataset.iter_videos()):
         if max_videos is not None and vi >= max_videos:
             break
+        infos.append(info)
+
+    def _save(info, masks) -> None:
+        mask_dir = os.path.join(run_dir, "masks", info["name"])
+        os.makedirs(mask_dir, exist_ok=True)
+        for f, m in zip(info["frames"], masks):
+            save_palette_mask(
+                m, os.path.join(mask_dir, os.path.splitext(f)[0] + ".png")
+            )
+
+    if batched is not None:
+        groups: Dict[tuple, List[dict]] = {}
+        for info in infos:
+            first = dataset.load_frame(info["name"], info["frames"][0])
+            groups.setdefault(first.shape[:2], []).append(info)
+        for hw, group in groups.items():
+            frames_list = [
+                dataset.load_frames(i["name"], i["frames"]) for i in group
+            ]
+            templates = [
+                dataset.load_mask(i["name"], i["frames"][i["test_ids"][0]])
+                for i in group
+            ]
+            results = batched.run(frames_list, templates)
+            for info, res in zip(group, results):
+                _save(info, res["masks"])
+        return
+
+    for info in infos:
         video = info["name"]
         frames = dataset.load_frames(video, info["frames"])
         template = dataset.load_mask(video, info["frames"][info["test_ids"][0]])
         model.xmem.clear_memory()
         masks, *_ = model.generator(frames, template)
         model.xmem.clear_memory()
-        mask_dir = os.path.join(run_dir, "masks", video)
-        os.makedirs(mask_dir, exist_ok=True)
-        for f, m in zip(info["frames"], masks):
-            save_palette_mask(
-                m, os.path.join(mask_dir, os.path.splitext(f)[0] + ".png")
-            )
+        _save(info, masks)
