@@ -50,6 +50,120 @@ def _exists(*parts) -> str | None:
     return p if os.path.exists(p) else None
 
 
+# ------------------------------------------------------------- --synthetic
+# Tiny-scale stand-ins proving the harness executes end-to-end TODAY: real
+# .pth files in the official schemas (utils/checkpoint.py round-trip) at toy
+# dims, and generated dataset trees in the exact layouts the loaders expect.
+# The day real artifacts arrive, the same code paths run at full scale.
+
+_SYN_HW = (32, 48)
+_SYN_VIT = (("vit_h", 64, 2, 2, (1,)),)   # tiny vit_h: 64-wide, 2 blocks
+
+_CONVT_MARKERS = (
+    "output_upscaling.0.weight", "output_upscaling.3.weight",
+    "compress_vit_feat.0.weight", "compress_vit_feat.3.weight",
+    "embedding_encoder.0.weight", "embedding_encoder.3.weight",
+)
+
+
+def _syn_checkpoints(ck: str, sam_cfg, samhq_cfg) -> None:
+    import jax
+    import numpy as np
+    import torch
+
+    from vosesam_tpu.config import XMemConfig
+    from vosesam_tpu.models.sam import predictor
+    from vosesam_tpu.models.xmem import network as xnet
+    from vosesam_tpu.utils import checkpoint as ckpt
+
+    os.makedirs(ck, exist_ok=True)
+
+    xcfg = XMemConfig(key_dim=8, value_dim=16, hidden_dim=4, max_objects=2)
+    tree = jax.tree.map(np.asarray, xnet.xmem_init(jax.random.PRNGKey(0), xcfg))
+    sd = ckpt.tree_to_state_dict(
+        tree, renames={"key_encoder.layer1.": "key_encoder.res2."})
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()},
+               os.path.join(ck, "XMem-s012.pth"))
+
+    for fname, cfg in (("sam_vit_h_4b8939.pth", sam_cfg),
+                       ("sam_hq_vit_h.pth", samhq_cfg)):
+        sp = predictor.sam_init(jax.random.PRNGKey(1), cfg)
+        tree = jax.tree.map(np.asarray, {
+            "image_encoder": sp.image_encoder,
+            "prompt_encoder": sp.prompt_encoder,
+            "mask_decoder": sp.mask_decoder,
+        })
+        shapes = ckpt.tree_shapes(tree)
+        convt = {k: "conv_transpose" for k in shapes
+                 if any(s in k for s in _CONVT_MARKERS)}
+        sd = ckpt.tree_to_state_dict(tree, transpose_spec=convt)
+        torch.save({k: torch.from_numpy(v) for k, v in sd.items()},
+                   os.path.join(ck, fname))
+
+
+def _syn_data(data: str) -> None:
+    import numpy as np
+    from PIL import Image
+
+    from vosesam_tpu.eval.palette import save_palette_mask
+    from vosesam_tpu.eval.video_io import write_video
+
+    h, w = _SYN_HW
+    rng = np.random.default_rng(0)
+
+    def frame(i, two_objects=False):
+        f = rng.integers(0, 255, (h, w, 3), np.uint8)
+        f[8 + i:20 + i, 10 + i:26 + i] = [255, 40, 40]
+        if two_objects:
+            f[22:30, 30 + i:44 + i] = [40, 255, 40]
+        return f
+
+    def mask(i, two_objects=False):
+        m = np.zeros((h, w), np.uint8)
+        m[8 + i:20 + i, 10 + i:26 + i] = 1
+        if two_objects:
+            m[22:30, 30 + i:44 + i] = 2
+        return m
+
+    # DAVIS: 2016 bear (single-object) + 2017 val (multi-object)
+    davis = os.path.join(data, "DAVIS")
+    os.makedirs(os.path.join(davis, "ImageSets", "2016"), exist_ok=True)
+    os.makedirs(os.path.join(davis, "ImageSets", "2017"), exist_ok=True)
+    with open(os.path.join(davis, "ImageSets", "2016", "val.txt"), "w") as f:
+        f.write("bear\n")
+    with open(os.path.join(davis, "ImageSets", "2017", "val.txt"), "w") as f:
+        f.write("bike-packing\n")
+    for video, two in (("bear", False), ("bike-packing", True)):
+        img_dir = os.path.join(davis, "JPEGImages", "480p", video)
+        ann_dir = os.path.join(davis, "Annotations", "480p", video)
+        os.makedirs(img_dir, exist_ok=True)
+        os.makedirs(ann_dir, exist_ok=True)
+        for i in range(3):
+            Image.fromarray(frame(i, two)).save(
+                os.path.join(img_dir, f"{i:05d}.jpg"))
+            save_palette_mask(mask(i, two),
+                              os.path.join(ann_dir, f"{i:05d}.png"))
+
+    # LongDataset / LVOS: JPEGImages/<video>/ + sparse Annotations
+    for name, gt_ids, n in (("LongDataset", (0, 2), 4), ("LVOS", (0,), 3)):
+        img_dir = os.path.join(data, name, "JPEGImages", "clip")
+        ann_dir = os.path.join(data, name, "Annotations", "clip")
+        os.makedirs(img_dir, exist_ok=True)
+        os.makedirs(ann_dir, exist_ok=True)
+        for i in range(n):
+            Image.fromarray(frame(i)).save(
+                os.path.join(img_dir, f"{i:05d}.jpg"))
+        for i in gt_ids:
+            save_palette_mask(mask(i),
+                              os.path.join(ann_dir, f"{i:05d}.png"))
+
+    # test_sample mp4
+    sdir = os.path.join(data, "test_sample")
+    os.makedirs(sdir, exist_ok=True)
+    write_video(os.path.join(sdir, "test-sample2.mp4"),
+                [frame(i) for i in range(4)], fps=10)
+
+
 def _report_row(rows, config, df=None, fps=None, note=""):
     row = {"config": config, "J_mean": None, "F_mean": None, "JF_mean": None,
            "fps": fps, "note": note}
@@ -65,8 +179,14 @@ def _report_row(rows, config, df=None, fps=None, note=""):
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--checkpoints", required=True)
-    ap.add_argument("--data", required=True)
+    ap.add_argument("--checkpoints", default=None)
+    ap.add_argument("--data", default=None)
+    ap.add_argument("--synthetic", action="store_true",
+                    help="prove the harness end-to-end TODAY: synthesize "
+                         "tiny official-schema .pth checkpoints + dataset "
+                         "trees (under --out) for any artifact not supplied "
+                         "and run all five configs at toy scale on the "
+                         "default backend")
     ap.add_argument("--reference_csv", default=None)
     ap.add_argument("--max_videos", type=int, default=None)
     ap.add_argument("--out", default=os.path.join("result", "parity"))
@@ -80,9 +200,12 @@ def main() -> None:
                          "fast gear's J&F delta the day checkpoints exist")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
+    if not args.synthetic and (not args.checkpoints or not args.data):
+        ap.error("--checkpoints and --data are required (or use --synthetic)")
 
     from vosesam_tpu.config import (
-        FrameworkConfig, RefinementConfig, SAMConfig,
+        FrameworkConfig as _FrameworkConfig, MemoryConfig, RefinementConfig,
+        SAMConfig,
     )
 
     enc_kw = {}
@@ -94,8 +217,35 @@ def main() -> None:
     elif args.encode != "official":
         raise SystemExit(f"unknown --encode {args.encode!r}")
 
+    syn_kw = dict(image_size=128, window_size=7, vit_dims=_SYN_VIT)
+
     def mk_sam(**kw) -> SAMConfig:
+        if args.synthetic:
+            kw.update(syn_kw)
         return SAMConfig(**kw, **enc_kw)
+
+    def FrameworkConfig(**kw) -> _FrameworkConfig:
+        cfg = _FrameworkConfig(**kw)
+        if args.synthetic:   # toy-scale memory + CPU-friendly dtype
+            cfg = dataclasses.replace(
+                cfg,
+                memory=MemoryConfig(
+                    max_mid_term_frames=3, min_mid_term_frames=2,
+                    max_long_term_elements=64, num_prototypes=8, top_k=8,
+                    mem_every=2),
+                dtype="float32")
+        return cfg
+
+    if args.synthetic:
+        if not args.checkpoints:
+            args.checkpoints = os.path.join(args.out, "synthetic", "checkpoints")
+            _syn_checkpoints(args.checkpoints,
+                             mk_sam(model_type="vit_h"),
+                             mk_sam(model_type="vit_h", hq=True))
+        if not args.data:
+            args.data = os.path.join(args.out, "synthetic", "data")
+            _syn_data(args.data)
+
     from vosesam_tpu.pipeline.track_anything import TrackingAnything
 
     ck = args.checkpoints
@@ -108,8 +258,12 @@ def main() -> None:
     sample = None
     sdir = _exists(args.data, "test_sample")
     if sdir:
-        mp4s = sorted(f for f in os.listdir(sdir) if f.endswith(".mp4"))
-        sample = os.path.join(sdir, mp4s[0]) if mp4s else None
+        # .mp4 preferred; .gif accepted (write_video's no-ffmpeg fallback
+        # suffixes .mp4.gif — the synthetic tree uses it on ffmpeg-less hosts)
+        clips = sorted(f for f in os.listdir(sdir)
+                       if f.endswith((".mp4", ".gif")))
+        clips.sort(key=lambda f: (not f.endswith(".mp4"), f))
+        sample = os.path.join(sdir, clips[0]) if clips else None
 
     print(f"checkpoints: xmem={xmem_ck} sam={sam_ck} sam_hq={samhq_ck}")
     print(f"data: davis={davis} long={longd} lvos={lvos} sample={sample}")

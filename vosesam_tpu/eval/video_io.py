@@ -13,7 +13,8 @@ import numpy as np
 def read_video_frames(path: str) -> List[np.ndarray]:
     import imageio.v3 as iio
 
-    return [np.asarray(f) for f in iio.imiter(path)]
+    # [..., :3]: GIF/PNG-backed clips may decode RGBA; the pipeline is RGB.
+    return [np.asarray(f)[..., :3] for f in iio.imiter(path)]
 
 
 def write_video(path: str, frames: Sequence[np.ndarray], fps: int = 10) -> None:

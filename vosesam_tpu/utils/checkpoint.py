@@ -198,6 +198,52 @@ def load_e2fgvi_checkpoint(path: str) -> Dict[str, Any]:
     return state_dict_to_tree(sd, transpose_spec={"sc.bias": "chw_to_hwc"})
 
 
+def tree_to_state_dict(
+    tree: Mapping[str, Any],
+    renames: Mapping[str, str] = (),
+    transpose_spec: Mapping[str, str] = (),
+    prefix: str = "",
+) -> Dict[str, Any]:
+    """Exact inverse of state_dict_to_tree: param tree -> torch-layout flat
+    state dict (numpy leaves; wrap with torch.from_numpy to torch.save).
+
+    Used to synthesize official-schema .pth files at arbitrary dims
+    (run_parity.py --synthetic, checkpoint round-trip tests). `renames` maps
+    OUR prefix back to the torch one (e.g. 'key_encoder.layer1.' ->
+    'key_encoder.res2.'); `transpose_spec` takes the SAME dotted torch paths
+    and kinds as the forward direction."""
+    renames = dict(renames)
+    transpose_spec = dict(transpose_spec)
+    out: Dict[str, Any] = {}
+    for k, v in tree.items():
+        p = f"{prefix}.{k}" if prefix else k
+        if isinstance(v, Mapping):
+            out.update(tree_to_state_dict(v, renames, transpose_spec, p))
+            continue
+        key = p
+        for old, new in renames.items():
+            if key.startswith(old):
+                key = new + key[len(old):]
+                break
+        a = np.ascontiguousarray(np.asarray(v))
+        kind = transpose_spec.get(key)
+        if kind == "conv_transpose":      # HWIO -> IOHW
+            a = np.transpose(a, (2, 3, 0, 1))
+        elif kind == "chw_to_hwc":        # hwc -> chw
+            a = np.transpose(a, (2, 0, 1))
+        elif kind == "keep":
+            pass
+        elif key.endswith(".weight"):
+            if a.ndim == 4:               # HWIO -> OIHW
+                a = np.transpose(a, (3, 2, 0, 1))
+            elif a.ndim == 2 and not any(m in key for m in _EMBEDDING_MARKERS):
+                a = a.T
+        # always a fresh writable buffer (jax array views are read-only and
+        # trip torch.from_numpy's non-writable warning)
+        out[key] = np.array(a)
+    return out
+
+
 def _orthogonal_like(rng, shape):
     flat = rng.normal(size=(shape[0], int(np.prod(shape[1:]))))
     q, _ = np.linalg.qr(flat.T)
