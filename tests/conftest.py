@@ -37,16 +37,25 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+_tests_since_clear = 0
+
+
 def pytest_runtest_setup(item):
     # XLA:CPU can abort during a late BIG compile after hundreds of jits in
     # one process (observed 2026-08-18, deterministic at
     # test_training.py::test_loss_decreases ~210 jits in when quick+slow run
     # in a single pytest invocation). Dropping the in-memory tracing /
-    # executable caches before each slow-marked (big-compile) test releases
+    # executable caches before a slow-marked (big-compile) test releases
     # that accumulated compiler state; recompiles stay cheap via the
-    # persistent on-disk cache above.
-    if item.get_closest_marker("slow") is not None:
+    # persistent on-disk cache above. Only clear when enough tests have
+    # accumulated state since the last clear — back-to-back slow tests keep
+    # their warm executables instead of re-deserializing every time.
+    global _tests_since_clear
+    _tests_since_clear += 1
+    if (item.get_closest_marker("slow") is not None
+            and _tests_since_clear > 10):
         jax.clear_caches()
+        _tests_since_clear = 0
 
 
 @pytest.fixture
