@@ -91,6 +91,38 @@ def _refine_chunk(
     return jax.vmap(refine_one)(fstack, masks, obj_logits, scores, ovalid)
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def _encode_chunk(
+    sam_params, frames: Tuple[jax.Array, ...], cfg: FrameworkConfig,
+):
+    """ONE batched ViT encode of the K-frame chunk (no refinement). Split
+    out of _refine_chunk so the pipelined driver can dispatch the chunk's
+    dominant device program (~40 ms/frame encode) BEFORE the K latency-bound
+    XMem step dispatches: while the device executes the encode, the host
+    enqueues the XMem steps, hiding their per-dispatch host latency (the
+    device would otherwise idle between them)."""
+    fstack = jnp.stack(frames)
+    return jax.vmap(
+        lambda f: predictor.encode_image(sam_params, f, cfg.sam))(fstack)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _refine_chunk_pre(
+    sam_params, embs, per_frame: Tuple, cfg: FrameworkConfig,
+):
+    """Batched refinement with PRE-computed embeddings (_encode_chunk).
+    Same math as _refine_chunk minus the encode."""
+    masks, obj_logits, scores, _indexed, ovalid = (
+        jnp.stack(t) for t in zip(*per_frame)
+    )
+
+    def refine_one(emb, m, lg, sc, ov):
+        res = refine_masks(sam_params, emb, m, lg, sc, ov, cfg)
+        return res.indexed, res.scores
+
+    return jax.vmap(refine_one)(embs, masks, obj_logits, scores, ovalid)
+
+
 def track_chunk(
     xmem_params: Params,
     sam_params,
@@ -113,19 +145,26 @@ def track_chunk(
     the PASSED `state` afterward (use the returned one)."""
     if not isinstance(frames, (tuple, list)):
         frames = tuple(frames[i] for i in range(frames.shape[0]))
+    refine = cfg.refinement.use_refinement
+    if refine:
+        # Dispatch the chunk's dominant device program FIRST: the batched
+        # encode only needs the frames, so it executes on the device while
+        # the host is still enqueuing the K latency-bound XMem dispatches
+        # below (the device no longer idles between them).
+        embs = _encode_chunk(sam_params, tuple(frames), cfg)
     step_jit = _xmem_chunk_step_donate if donate_state else _xmem_chunk_step
     per_frame = []
     for f in frames:
         state, outs = step_jit(xmem_params, state, f, cfg)
         per_frame.append(outs)
 
-    if not cfg.refinement.use_refinement:
+    if not refine:
         indexed = jnp.stack([o[3] for o in per_frame])
         scores = jnp.stack([o[2] for o in per_frame])
         return state, indexed, scores
 
-    r_indexed, r_scores = _refine_chunk(
-        sam_params, tuple(frames), tuple(per_frame), cfg)
+    r_indexed, r_scores = _refine_chunk_pre(
+        sam_params, embs, tuple(per_frame), cfg)
     return state, r_indexed, r_scores
 
 
