@@ -192,6 +192,13 @@ def main() -> None:
     ap.add_argument("--out", default=os.path.join("result", "parity"))
     ap.add_argument("--configs", nargs="*", type=int, default=[1, 2, 3, 4, 5],
                     help="subset of the five BASELINE config numbers")
+    ap.add_argument("--platform", default="default",
+                    choices=("default", "cpu"),
+                    help="'cpu' forces the JAX CPU backend (the axon site "
+                         "hook pins JAX_PLATFORMS=axon at interpreter start; "
+                         "env vars cannot override it, only this in-process "
+                         "config switch can) — used by the test gate to run "
+                         "the synthetic rows off-chip")
     ap.add_argument("--encode", default="official",
                     help="SAM encode geometry for ALL configs: 'official' "
                          "(1024 square, the reference's exact behavior), "
@@ -199,6 +206,12 @@ def main() -> None:
                          " e.g. letterbox:448x896 — run this to measure the "
                          "fast gear's J&F delta the day checkpoints exist")
     args = ap.parse_args()
+    if args.platform == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        cache = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+        if cache:
+            jax.config.update("jax_compilation_cache_dir", cache)
     os.makedirs(args.out, exist_ok=True)
     if not args.synthetic and (not args.checkpoints or not args.data):
         ap.error("--checkpoints and --data are required (or use --synthetic)")

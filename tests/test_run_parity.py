@@ -1,9 +1,16 @@
 """run_parity.py: the one-command J&F parity runner is working code, not a
 stub — config 1 executes end-to-end on a synthesized tiny XMem checkpoint +
-synthetic DAVIS-2016 tree, and missing artifacts SKIP cleanly."""
+synthetic DAVIS-2016 tree, and --synthetic proves all five BASELINE rows.
+
+Each run invokes the REAL CLI in a subprocess (`--platform cpu`): that is
+what a user runs, and it isolates these big tracker compiles from the quick
+gate's accumulated XLA:CPU compiler state (a late in-process compile after
+~200 jits segfaults XLA:CPU on this host — see .claude/skills/verify).
+"""
 
 import json
 import os
+import subprocess
 import sys
 
 import jax
@@ -17,6 +24,25 @@ from tests.test_checkpoint import tree_to_torch_state_dict  # noqa: E402
 from vosesam_tpu.config import XMemConfig  # noqa: E402
 from vosesam_tpu.eval.palette import save_palette_mask  # noqa: E402
 from vosesam_tpu.models.xmem import network as xnet  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CACHE = os.path.join(REPO, "tests", ".jax_cache_cpu")
+
+
+def _run_cli(args, cwd):
+    env = dict(os.environ)
+    env["JAX_COMPILATION_CACHE_DIR"] = CACHE
+    # single CPU device is enough; avoid the 8-virtual-device collective
+    # rendezvous risk on this 1-core host
+    env["XLA_FLAGS"] = env.get("XLA_FLAGS", "").replace(
+        "--xla_force_host_platform_device_count=8", "").strip()
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "run_parity.py"),
+         "--platform", "cpu", *args],
+        cwd=cwd, env=env, capture_output=True, text=True, timeout=1200)
+    assert proc.returncode == 0, (
+        f"run_parity failed\nstdout:\n{proc.stdout[-3000:]}\n"
+        f"stderr:\n{proc.stderr[-3000:]}")
 
 
 def _make_davis2016(root, n_frames=3, size=(32, 48)):
@@ -36,7 +62,7 @@ def _make_davis2016(root, n_frames=3, size=(32, 48)):
         save_palette_mask(m, os.path.join(ann_dir, f"{i:05d}.png"))
 
 
-def test_config1_runs_end_to_end(tmp_path, monkeypatch):
+def test_config1_runs_end_to_end(tmp_path):
     ck = tmp_path / "ck"
     data = tmp_path / "data"
     out = tmp_path / "out"
@@ -54,15 +80,8 @@ def test_config1_runs_end_to_end(tmp_path, monkeypatch):
     }
     torch.save(sd, str(ck / "XMem-s012.pth"))
 
-    monkeypatch.chdir(tmp_path)
-    monkeypatch.setattr(sys, "argv", [
-        "run_parity.py", "--checkpoints", str(ck), "--data", str(data),
-        "--out", str(out), "--configs", "1",
-    ])
-    sys.path.insert(0, "/root/repo")
-    import run_parity
-
-    run_parity.main()
+    _run_cli(["--checkpoints", str(ck), "--data", str(data),
+              "--out", str(out), "--configs", "1"], cwd=str(tmp_path))
 
     with open(out / "parity_report.json") as f:
         rows = json.load(f)
@@ -73,20 +92,13 @@ def test_config1_runs_end_to_end(tmp_path, monkeypatch):
     assert not row["note"].startswith("SKIP")
 
 
-def test_synthetic_all_five_end_to_end(tmp_path, monkeypatch):
+def test_synthetic_all_five_end_to_end(tmp_path):
     """`run_parity.py --synthetic`: every BASELINE config row executes at toy
     scale through the REAL code paths — official-schema .pth checkpoints
     (XMem surgery + SAM/HQ conversion), dataset loaders, runners, report —
     so the harness is proven executable before real artifacts arrive."""
     out = tmp_path / "out"
-    monkeypatch.chdir(tmp_path)
-    monkeypatch.setattr(sys, "argv", [
-        "run_parity.py", "--synthetic", "--out", str(out),
-    ])
-    sys.path.insert(0, "/root/repo")
-    import run_parity
-
-    run_parity.main()
+    _run_cli(["--synthetic", "--out", str(out)], cwd=str(tmp_path))
 
     with open(out / "parity_report.json") as f:
         rows = json.load(f)
@@ -101,5 +113,6 @@ def test_synthetic_all_five_end_to_end(tmp_path, monkeypatch):
         assert rows[i]["JF_mean"] is not None and np.isfinite(rows[i]["JF_mean"])
     assert rows[1]["fps"] is not None and rows[1]["fps"] > 0
     assert os.path.exists(out / "synthetic" / "checkpoints" / "sam_hq_vit_h.pth")
-    # LVOS masks written by the runner
-    assert os.path.exists("result/parity5_lvos/masks/clip/00000.png")
+    # LVOS masks written by the runner (relative to the CLI's cwd)
+    assert os.path.exists(
+        tmp_path / "result" / "parity5_lvos" / "masks" / "clip" / "00000.png")
