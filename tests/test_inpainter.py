@@ -169,6 +169,34 @@ class TestDriver:
                 err_msg=f"frame {i}")
 
     @pytest.mark.slow
+    def test_window_batch_matches_sequential(self):
+        """window_batch > 1 (B static windows vmapped through one generator
+        call) must reproduce the sequential static path bit-for-near-bit —
+        including the tail group, which pads by repeating the last window."""
+        import dataclasses
+
+        inp_seq = Inpainter(cfg=dataclasses.replace(CFG, static_windows=True))
+        inp_b = Inpainter(
+            cfg=dataclasses.replace(CFG, static_windows=True, window_batch=2),
+            params=inp_seq.params)
+        rng = np.random.default_rng(7)
+        t = 28  # 6 anchors -> 3 groups of 2 at B=2; t=33 below tests a tail
+        for t in (28, 33):
+            frames = [rng.integers(0, 255, (60, 108, 3), np.uint8)
+                      for _ in range(t)]
+            masks = []
+            for _ in range(t):
+                m = np.zeros((60, 108), np.uint8)
+                m[20:35, 40:70] = 1
+                masks.append(m)
+            out_seq = inp_seq.inpaint_efficient(frames, masks, dilate_radius=2)
+            out_b = inp_b.inpaint_efficient(frames, masks, dilate_radius=2)
+            for i in range(t):
+                np.testing.assert_allclose(
+                    out_b[i].astype(np.int32), out_seq[i].astype(np.int32),
+                    atol=1, err_msg=f"t={t} frame {i}")
+
+    @pytest.mark.slow
     def test_inpaint_small_video(self):
         inp = Inpainter(cfg=CFG)
         rng = np.random.default_rng(0)

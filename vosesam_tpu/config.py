@@ -251,6 +251,12 @@ class InpainterConfig:
     # are bit-identical to the variable path; edge windows see more context.
     # Falls back to variable windows for clips shorter than ~4*stride+3.
     static_windows: bool = True
+    # >1: vmap this many static windows through ONE generator call. Windows
+    # of a subset are independent until host compositing (read-only on the
+    # padded video), so batching multiplies every op of the sequential
+    # T-step propagation chain by B — same depth, B-x larger convs/gathers,
+    # B-x fewer dispatches. Requires static_windows; ignored otherwise.
+    window_batch: int = 1
     hidden_dim: int = 512
     num_blocks: int = 8
     num_heads: int = 4

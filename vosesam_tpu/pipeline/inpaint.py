@@ -128,6 +128,14 @@ class Inpainter:
                 p, f, nl, self.cfg, frame_valid=fv),
             static_argnums=2,
         )
+        # window_batch > 1: B independent static windows per call (vmapped;
+        # see InpainterConfig.window_batch). One extra jit signature.
+        self._fwd_masked_batched = jax.jit(
+            lambda p, f, nl, fv: jax.vmap(
+                lambda ff, fvv: G.generator_forward(
+                    p, ff, nl, self.cfg, frame_valid=fvv)[0])(f, fv),
+            static_argnums=2,
+        )
 
     # ------------------------------------------------------------- core
 
@@ -195,34 +203,58 @@ class Inpainter:
         r_static = (static_ref_budget(t, cfg.neighbor_stride, cfg.step)
                     if use_static else 0)
 
-        for f in range(0, t, cfg.neighbor_stride):
+        anchors = list(range(0, t, cfg.neighbor_stride))
+        wb = cfg.window_batch if use_static else 1
+        for g in range(0, len(anchors), max(wb, 1)):
+            group = anchors[g:g + max(wb, 1)]
             if use_static:
-                ids, num_local, n_valid, write_ids = static_window_plan(
+                plans = [static_window_plan(
                     f, t, cfg.neighbor_stride, cfg.step, r_static)
-                nb_start = ids[0]
-                valid = np.arange(len(ids)) < n_valid
-            else:
-                write_ids = list(
-                    range(max(0, f - cfg.neighbor_stride),
-                          min(t, f + cfg.neighbor_stride + 1))
-                )
-                ref_ids = get_ref_index(f, write_ids, t, cfg.num_ref, cfg.step)
-                ids = write_ids + ref_ids
-                num_local = len(write_ids)
-                nb_start = write_ids[0]
-                valid = None
-            window = padded[ids]
-            pred = self._run_window(window, num_local, valid)
-            pred = (pred[:, :h, :w] + 1.0) / 2.0 * 255.0
-
-            for idx in write_ids:
-                m = masks_np[idx][..., None]
-                img = np.asarray(frames[idx], np.float32)
-                comp = pred[idx - nb_start] * m + img * (1.0 - m)
-                if comp_frames[idx] is None:
-                    comp_frames[idx] = comp
+                    for f in group]
+                if wb > 1:
+                    # one vmapped call for the group; short tail groups pad
+                    # by repeating the last window (outputs discarded) so
+                    # the whole video runs ONE batched jit signature
+                    n_real = len(plans)
+                    pad_plans = plans + [plans[-1]] * (wb - n_real)
+                    windows = np.stack([padded[p[0]] for p in pad_plans])
+                    valids = np.stack([
+                        np.arange(len(p[0])) < p[2] for p in pad_plans])
+                    preds = np.asarray(self._fwd_masked_batched(
+                        self.params, jnp.asarray(windows), plans[0][1],
+                        jnp.asarray(valids)))[:n_real]
                 else:
-                    comp_frames[idx] = 0.5 * comp_frames[idx] + 0.5 * comp
+                    preds = [None]
+            for bi, f in enumerate(group):
+                if use_static:
+                    ids, num_local, n_valid, write_ids = plans[bi]
+                    nb_start = ids[0]
+                    if wb > 1:
+                        pred = preds[bi]
+                    else:
+                        valid = np.arange(len(ids)) < n_valid
+                        pred = self._run_window(padded[ids], num_local, valid)
+                else:
+                    write_ids = list(
+                        range(max(0, f - cfg.neighbor_stride),
+                              min(t, f + cfg.neighbor_stride + 1))
+                    )
+                    ref_ids = get_ref_index(
+                        f, write_ids, t, cfg.num_ref, cfg.step)
+                    ids = write_ids + ref_ids
+                    num_local = len(write_ids)
+                    nb_start = write_ids[0]
+                    pred = self._run_window(padded[ids], num_local, None)
+                pred = (pred[:, :h, :w] + 1.0) / 2.0 * 255.0
+
+                for idx in write_ids:
+                    m = masks_np[idx][..., None]
+                    img = np.asarray(frames[idx], np.float32)
+                    comp = pred[idx - nb_start] * m + img * (1.0 - m)
+                    if comp_frames[idx] is None:
+                        comp_frames[idx] = comp
+                    else:
+                        comp_frames[idx] = 0.5 * comp_frames[idx] + 0.5 * comp
         return [np.clip(c, 0, 255).astype(np.uint8) for c in comp_frames]
 
     def inpaint(
