@@ -69,7 +69,13 @@ class TestImageEncoder:
         implemented, proven equivalent by this test, and REVERTED — encode
         standalone was a wash (75.3 vs 75.7 ms/frame; the pad-tensor writes
         eat the matmul savings) and the vmapped refine path regressed 22
-        ms/frame (12.49 -> 11.12 fps end-to-end)."""
+        ms/frame (12.49 -> 11.12 fps end-to-end). RE-MEASURED 2026-08-19
+        under the single-einsum fused-bias path (bias-free linears
+        pre-partition, bias added post-partition): 40.6 -> 52.5 ms/frame
+        standalone (exp_encode_ab, best of 5) — the three per-tensor
+        window-major partitions (14-sublane-hostile transposes) cost more
+        than the 27.6% projection-FLOP saving. Rejected twice; don't
+        retry without a layout-level fix."""
         heads, c, window = 2, 16, 7
         h, w = 10, 12   # pads to 14x14 -> 4 windows
         key = jax.random.PRNGKey(0)

@@ -315,8 +315,20 @@ def vit_encode(
     `return_interm` also returns the early global-attention block outputs
     (needed by the SAM-HQ decoder's ViT-feature fusion)."""
     dim, depth, heads, global_idx = cfg.encoder_dims()
-    y = conv2d(x[None], params["patch_embed"]["proj"],
-               stride=cfg.patch_size, padding=0)
+    # Patch embed as an exact space-to-depth matmul instead of the 16x16/s16
+    # conv: non-overlapping stride==kernel means the conv IS a reshape+dot,
+    # but XLA:TPU lowers the C_in=3 conv form poorly (same pathology as the
+    # ResNet stem, BASELINE.md). Measured 0.525 -> 0.213 ms/frame at the
+    # rect bench shape (scripts/exp_patch_embed.py, device-loop); identical
+    # MACs, bf16 rounding only.
+    pw = params["patch_embed"]["proj"]["weight"]   # (P, P, 3, dim) HWIO
+    P = cfg.patch_size
+    xh, xw, _ = x.shape
+    t = x.reshape(xh // P, P, xw // P, P, 3)
+    t = t.transpose(0, 2, 1, 3, 4).reshape(1, xh // P, xw // P, P * P * 3)
+    y = (jnp.dot(t, pw.reshape(P * P * 3, dim).astype(t.dtype),
+                 preferred_element_type=t.dtype)
+         + params["patch_embed"]["proj"]["bias"].astype(t.dtype))
     pe = params["pos_embed"]
     if pe.shape[1] != y.shape[1] or pe.shape[2] != y.shape[2]:
         if (cfg.encode_fixed_hw is None
