@@ -117,6 +117,49 @@ class TestImageEncoder:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
 
+    def test_gelu_fast_error_below_bf16_noise(self, tiny_cfg):
+        """The encoder's tanh-gelu-in-bf16 (layers.gelu_fast) must not add
+        error beyond what bf16 itself already costs: at the whole-encoder
+        level, |bf16-tanh - fp32-erf| stays within a small factor of
+        |bf16-erf - fp32-erf| (the representation error we already accept),
+        and fp32 gelu_fast IS exact erf (bit-equal encoder output)."""
+        from vosesam_tpu.models import layers
+
+        key = jax.random.PRNGKey(0)
+        x = jax.random.normal(jax.random.PRNGKey(1), (256, 256, 3))
+
+        p32 = image_encoder.vit_init(key, tiny_cfg, dtype=jnp.float32)
+        ref32 = np.asarray(
+            image_encoder.vit_encode(p32, x, tiny_cfg), np.float32)
+
+        # fp32 path: gelu_fast dispatches to exact erf -> bit-equal to a
+        # monkeypatched always-erf encoder
+        orig = image_encoder.gelu_fast
+        try:
+            image_encoder.gelu_fast = layers.gelu
+            ref32_erf = np.asarray(
+                image_encoder.vit_encode(p32, x, tiny_cfg), np.float32)
+        finally:
+            image_encoder.gelu_fast = orig
+        np.testing.assert_array_equal(ref32, ref32_erf)
+
+        p16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), p32)
+        x16 = x.astype(jnp.bfloat16)
+        out_tanh = np.asarray(
+            image_encoder.vit_encode(p16, x16, tiny_cfg), np.float32)
+        try:
+            image_encoder.gelu_fast = layers.gelu
+            out_erf = np.asarray(
+                image_encoder.vit_encode(p16, x16, tiny_cfg), np.float32)
+        finally:
+            image_encoder.gelu_fast = orig
+
+        err_repr = np.abs(out_erf - ref32).max()     # bf16 representation
+        err_tanh = np.abs(out_tanh - ref32).max()    # bf16 + approximation
+        assert err_tanh <= 2.0 * err_repr + 1e-6, (
+            f"tanh-gelu error {err_tanh:.4g} exceeds 2x the bf16 "
+            f"representation error {err_repr:.4g}")
+
     def test_window_roundtrip(self):
         x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, 4))
         w, pad_hw = image_encoder._window_partition(x, 7)

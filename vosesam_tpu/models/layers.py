@@ -178,6 +178,24 @@ def gelu(x: jax.Array) -> jax.Array:
     return jax.nn.gelu(x, approximate=False).astype(x.dtype)
 
 
+def gelu_fast(x: jax.Array) -> jax.Array:
+    """gelu whose form follows the activation precision: tanh-approx in
+    bf16, exact erf otherwise.
+
+    The tanh approximation deviates from erf-gelu by <~1e-3 in output
+    units — BELOW the bf16 representation error of the erf result itself
+    (~0.4% relative, e.g. ~8e-3 at |x|=2), so at bf16 the approximation is
+    invisible at the precision the activations carry while skipping the
+    VPU erf polynomial (measured 3.55 ms/frame on the K=8 vit_h encoder
+    MLP tower, scripts/exp_gelu.py: erf 14.39 -> tanh 10.84 ms/frame,
+    no-act floor 10.41). fp32 paths (torch-parity tests, CPU eval) keep
+    the exact erf; tests/test_sam.py::test_gelu_fast_error_below_bf16_noise
+    asserts the error ordering at the whole-encoder level."""
+    if x.dtype == jnp.bfloat16:
+        return jax.nn.gelu(x, approximate=True).astype(x.dtype)
+    return jax.nn.gelu(x, approximate=False).astype(x.dtype)
+
+
 def interpolate_bilinear(x: jax.Array, scale: float) -> jax.Array:
     """Torch F.interpolate(..., align_corners=False) equivalent (NHWC)."""
     h, w = x.shape[-3], x.shape[-2]

@@ -29,7 +29,7 @@ from vosesam_tpu.models.layers import (
     Params,
     conv2d,
     conv_init,
-    gelu,
+    gelu_fast,
     layer_norm,
     linear,
     linear_init,
@@ -298,7 +298,11 @@ def _block(x: jax.Array, p: Params, heads: int, window: int,
                        use_flash=use_flash)
     x = shortcut + y
     y = layer_norm(x, p["norm2"])
-    y = linear(gelu(linear(y, p["mlp"]["lin1"])), p["mlp"]["lin2"])
+    # gelu_fast: tanh form in bf16 (error below bf16 rounding), exact erf
+    # in fp32 — the encoder MLPs apply gelu to ~378M activations/frame at
+    # the K=8 bench and the erf polynomial alone cost 3.55 ms/frame
+    # (scripts/exp_gelu.py).
+    y = linear(gelu_fast(linear(y, p["mlp"]["lin1"])), p["mlp"]["lin2"])
     return x + y
 
 
