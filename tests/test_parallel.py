@@ -289,3 +289,38 @@ class TestShardedMemoryRead:
                                    atol=1e-4, rtol=1e-4)
         np.testing.assert_allclose(np.asarray(use), np.asarray(ref_use),
                                    atol=1e-4, rtol=1e-4)
+
+
+class TestInpaintWindowSharding:
+    @pytest.mark.slow
+    def test_sharded_windows_match_sequential(self):
+        """Inpainter(mesh=...) — one static window per device over `data` —
+        must reproduce the sequential static path bit-for-near-bit,
+        including a tail group padded by repeating the last window."""
+        from jax.sharding import Mesh
+
+        from vosesam_tpu.config import InpainterConfig
+        from vosesam_tpu.pipeline.inpaint import Inpainter
+
+        icfg = InpainterConfig(num_blocks=2, static_windows=True)
+        seq = Inpainter(cfg=icfg)
+        devs = np.asarray(jax.devices()[:4]).reshape(4, 1)
+        mesh = Mesh(devs, ("data", "model"))
+        shd = Inpainter(cfg=icfg, params=seq.params, mesh=mesh)
+
+        rng = np.random.default_rng(11)
+        t = 23  # 5 anchors -> one full group of 4 + a 1-window tail (3 pads)
+        frames = [rng.integers(0, 255, (60, 108, 3), np.uint8)
+                  for _ in range(t)]
+        masks = []
+        for _ in range(t):
+            m = np.zeros((60, 108), np.uint8)
+            m[20:35, 40:70] = 1
+            masks.append(m)
+
+        out_seq = seq.inpaint_efficient(frames, masks, dilate_radius=2)
+        out_shd = shd.inpaint_efficient(frames, masks, dilate_radius=2)
+        for i in range(t):
+            np.testing.assert_allclose(
+                out_shd[i].astype(np.int32), out_seq[i].astype(np.int32),
+                atol=1, err_msg=f"frame {i}")

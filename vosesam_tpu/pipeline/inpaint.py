@@ -106,8 +106,14 @@ class Inpainter:
         checkpoint: Optional[str] = None,
         cfg: InpainterConfig = InpainterConfig(),
         params=None,
+        mesh=None,
     ) -> None:
+        """`mesh`: optional jax.sharding.Mesh — static windows run
+        data-parallel over its leading axis, one window per device (the
+        per-chip optimum; on-chip vmapped batching loses, BASELINE.md).
+        Window grouping, tail padding and compositing are unchanged."""
         self.cfg = cfg
+        self.mesh = mesh
         if params is not None:
             self.params = params
         elif checkpoint and os.path.exists(checkpoint):
@@ -136,6 +142,12 @@ class Inpainter:
                     p, ff, nl, self.cfg, frame_valid=fvv)[0])(f, fv),
             static_argnums=2,
         )
+        if mesh is not None:
+            from vosesam_tpu.parallel import inpaint_shard
+
+            self._shardlib = inpaint_shard
+            self.params = inpaint_shard.replicate_params(self.params, mesh)
+            self._sharded_fns = {}  # num_local -> jitted shard_map fn
 
     # ------------------------------------------------------------- core
 
@@ -204,7 +216,14 @@ class Inpainter:
                     if use_static else 0)
 
         anchors = list(range(0, t, cfg.neighbor_stride))
-        wb = cfg.window_batch if use_static else 1
+        dp = 0
+        if self.mesh is not None and use_static:
+            # one window per device over the mesh's data axis (times any
+            # explicit on-chip window_batch — default 1, the measured optimum)
+            dp = self.mesh.devices.shape[0]
+            wb = dp * max(1, cfg.window_batch)
+        else:
+            wb = cfg.window_batch if use_static else 1
         for g in range(0, len(anchors), max(wb, 1)):
             group = anchors[g:g + max(wb, 1)]
             if use_static:
@@ -220,9 +239,21 @@ class Inpainter:
                     windows = np.stack([padded[p[0]] for p in pad_plans])
                     valids = np.stack([
                         np.arange(len(p[0])) < p[2] for p in pad_plans])
-                    preds = np.asarray(self._fwd_masked_batched(
-                        self.params, jnp.asarray(windows), plans[0][1],
-                        jnp.asarray(valids)))[:n_real]
+                    if dp:
+                        nl = plans[0][1]
+                        fn = self._sharded_fns.get(nl)
+                        if fn is None:
+                            fn = self._shardlib.make_sharded_window_fn(
+                                cfg, self.mesh, nl)
+                            self._sharded_fns[nl] = fn
+                        wj, vj = self._shardlib.shard_windows(
+                            jnp.asarray(windows), jnp.asarray(valids),
+                            self.mesh)
+                        preds = np.asarray(fn(self.params, wj, vj))[:n_real]
+                    else:
+                        preds = np.asarray(self._fwd_masked_batched(
+                            self.params, jnp.asarray(windows), plans[0][1],
+                            jnp.asarray(valids)))[:n_real]
                 else:
                     preds = [None]
             for bi, f in enumerate(group):
