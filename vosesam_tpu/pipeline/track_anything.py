@@ -61,7 +61,10 @@ class TrackingAnything:
         cfg: Optional[FrameworkConfig] = None,
         runname: Optional[str] = None,
         save_inner_masks_folder: Optional[str] = None,
+        inpaint_mesh=None,
     ) -> None:
+        """`inpaint_mesh`: optional jax.sharding.Mesh — inpaint windows run
+        data-parallel over its leading axis (parallel/inpaint_shard.py)."""
         self.cfg = cfg or FrameworkConfig()
         self.runname = runname
         xmem_params, xmem_cfg = load_or_init_xmem(xmem_checkpoint, self.cfg.xmem)
@@ -85,7 +88,8 @@ class TrackingAnything:
         if e2fgvi_checkpoint:
             from vosesam_tpu.pipeline.inpaint import Inpainter
 
-            self.baseinpainter = Inpainter(e2fgvi_checkpoint, self.cfg.inpainter)
+            self.baseinpainter = Inpainter(
+                e2fgvi_checkpoint, self.cfg.inpainter, mesh=inpaint_mesh)
 
     # ------------------------------------------------------------- interact
     def first_frame_click(
