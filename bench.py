@@ -167,9 +167,20 @@ def main() -> None:
         n_frames = -(-n_frames // chunk) * chunk
     all_np = moving_frames(1 + warm_n + n_frames, h, w)
 
-    fps, lt_count = _measure(cfg, all_np, h, w, chunk, n_frames, refine, stages)
+    # Median-of-3 on the headline row: the tunneled chip's rate moves ±30%
+    # between sessions and a single 3 s window also jitters WITHIN one —
+    # the median (plus the raw runs in `fps_runs`) makes the recorded
+    # artifact robust to a one-off stall (VERDICT r3 weak #5).
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    fps_runs, lt_count, stage_info = _measure(
+        cfg, all_np, h, w, chunk, n_frames, refine, stages, reps=reps)
+    fps = float(np.median(fps_runs))
 
     extras = {}
+    if len(fps_runs) > 1:
+        extras["fps_median"] = round(fps, 3)
+        extras["fps_runs"] = [round(f, 3) for f in fps_runs]
+    extras.update(stage_info)
     if (os.environ.get("BENCH_EXTRAS", "1") == "1" and refine and chunk > 1
             and cfg.sam.encode_fixed_hw is None
             and cfg.sam.encode_letterbox_hw is None):
@@ -181,8 +192,9 @@ def main() -> None:
         lb_cfg = dataclasses.replace(
             cfg, sam=dataclasses.replace(cfg.sam,
                                          encode_letterbox_hw=(448, 896)))
-        lb_fps, _ = _measure(lb_cfg, all_np, h, w, chunk, n_frames, refine,
-                             stages=False)
+        lb_runs, _, _ = _measure(lb_cfg, all_np, h, w, chunk, n_frames,
+                                 refine, stages=False)
+        lb_fps = float(np.median(lb_runs))
         extras["letterbox_fps"] = round(lb_fps, 3)
         extras["letterbox_vs_baseline"] = round(lb_fps / 20.0, 3)
         # live_end occupancy corridor of the fused memory read at the
@@ -191,11 +203,16 @@ def main() -> None:
         # so the corridor bounds how much the headline can move with mask
         # geometry (VERDICT r2 weak #5).
         extras["read_ms_at_occupancy"] = _read_occupancy_corridor()
+        if os.environ.get("BENCH_INPAINT", "1") == "1":
+            extras.update(_inpaint_bench())
     _emit(cfg, fps, n_frames, refine, extras)
 
 
-def _measure(cfg, all_np, h, w, chunk, n_frames, refine, stages):
-    """Run the measured tracking loop for one config; returns (fps, lt_count)."""
+def _measure(cfg, all_np, h, w, chunk, n_frames, refine, stages, reps=1):
+    """Run the measured tracking loop `reps` times for one config; returns
+    (fps_list, lt_count, stage_info). Repeats continue the SAME rollout
+    (memory state keeps evolving in long-form steady state), so each rep is
+    an honest i.i.d.-ish sample of the steady-state rate."""
     import jax
     import jax.numpy as jnp
 
@@ -251,16 +268,18 @@ def _measure(cfg, all_np, h, w, chunk, n_frames, refine, stages):
         fin_update = jax.jit(lambda acc, s: acc + jnp.sum(
             jnp.where(jnp.isneginf(s), 0.0, s).astype(jnp.float32)))
         fin_acc = jnp.zeros((), jnp.float32)
-        t0 = time.time()
-        for fbatch in chunks:
-            state, idx, scores = step(state, fbatch)
-            fin_acc = fin_update(fin_acc, scores)
-        # sync on ONE element sliced on-device: the tunnel moves ~34 MB/s,
-        # so np.asarray of the full (K, H, W) i32 indexed mask (13 MB) would
-        # bill ~380 ms of host transfer to the compute loop.
-        np.asarray(idx.ravel()[0:1])
-        dt = time.time() - t0
-        fps = n_frames / dt
+        fps_runs = []
+        for _rep in range(reps):
+            t0 = time.time()
+            for fbatch in chunks:
+                state, idx, scores = step(state, fbatch)
+                fin_acc = fin_update(fin_acc, scores)
+            # sync on ONE element sliced on-device: the tunnel moves
+            # ~34 MB/s, so np.asarray of the full (K, H, W) i32 indexed
+            # mask (13 MB) would bill ~380 ms of host transfer to the loop.
+            np.asarray(idx.ravel()[0:1])
+            fps_runs.append(n_frames / (time.time() - t0))
+        fps = fps_runs[0]
         assert np.isfinite(np.asarray(fin_acc)), "non-finite scores mid-run"
         assert np.isfinite(np.asarray(idx)).all()
     else:
@@ -276,14 +295,16 @@ def _measure(cfg, all_np, h, w, chunk, n_frames, refine, stages):
         state = state_w
 
         fin_acc = jnp.zeros((), jnp.float32)
-        t0 = time.time()
-        for fr in frames_dev:
-            state, idx, scores = step(state, fr)
-            fin_acc = fin_acc + jnp.sum(
-                jnp.where(jnp.isneginf(scores), 0.0, scores).astype(jnp.float32))
-        np.asarray(idx.ravel()[0:1])   # 1-element sync; see chunked branch
-        dt = time.time() - t0
-        fps = n_frames / dt
+        fps_runs = []
+        for _rep in range(reps):
+            t0 = time.time()
+            for fr in frames_dev:
+                state, idx, scores = step(state, fr)
+                fin_acc = fin_acc + jnp.sum(
+                    jnp.where(jnp.isneginf(scores), 0.0, scores).astype(jnp.float32))
+            np.asarray(idx.ravel()[0:1])   # 1-element sync; see chunked branch
+            fps_runs.append(n_frames / (time.time() - t0))
+        fps = fps_runs[0]
         assert np.isfinite(np.asarray(fin_acc)), "non-finite scores mid-run"
         assert np.isfinite(np.asarray(idx)).all()
 
@@ -296,6 +317,7 @@ def _measure(cfg, all_np, h, w, chunk, n_frames, refine, stages):
             "bench not measuring the long-form steady state")
 
     # ---- per-stage attribution (steady-state, same jits) ----------------
+    stage_info = {}
     if stages and refine and chunk > 1:
         fbatch = jnp.stack(chunks[-1])
 
@@ -310,6 +332,21 @@ def _measure(cfg, all_np, h, w, chunk, n_frames, refine, stages):
             emb = enc_j(sam_params, fbatch)
         np.asarray(emb.ravel()[0:1])
         enc_ms = (time.time() - t0) / 3 / chunk * 1e3
+
+        # Achieved encode TFLOPS vs the chip's measured 76.5 TFLOPS
+        # dependent-chain ceiling (BASELINE.md): FLOPs are static at trace
+        # time, so the artifact records MFU, not just fps on a ±30%-variance
+        # tunnel (VERDICT r3 task 6).
+        try:
+            ca = enc_j.lower(sam_params, fbatch).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            enc_flops = float(ca["flops"]) / chunk   # per frame
+            tflops = enc_flops / (enc_ms * 1e-3) / 1e12
+            stage_info["encode_tflops"] = round(tflops, 2)
+            stage_info["mfu_vs_ceiling"] = round(tflops / 76.5, 3)
+        except Exception as e:                       # backend w/o cost model
+            print(f"# encode cost_analysis unavailable: {e}", file=sys.stderr)
 
         norefine_cfg = FrameworkConfig(
             xmem=cfg.xmem, memory=cfg.memory, sam=cfg.sam,
@@ -356,7 +393,43 @@ def _measure(cfg, all_np, h, w, chunk, n_frames, refine, stages):
               f"lt_count={lt_count}",
               file=sys.stderr)
 
-    return fps, lt_count
+    return fps_runs, lt_count, stage_info
+
+
+def _inpaint_bench():
+    """E2FGVI-HQ generator at the app's production inpaint setting (T=15
+    window, 11 locals, 240x432, fp32 — scripts/bench_inpaint.py's hot call),
+    so BENCH_r*.json finally records the inpainter stage (VERDICT r3 #1).
+
+    Honest per-OUTPUT-frame cost divides by the 5 stride-advanced frames a
+    window emits (neighbor_stride=5, pipeline/inpaint.py), NOT by T=15."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from vosesam_tpu.config import InpainterConfig
+    from vosesam_tpu.models.e2fgvi import generator as G
+
+    t, nl, h, w = 15, 11, 240, 432
+    cfg = InpainterConfig()
+    params = G.generator_init(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    frames = jax.random.uniform(
+        jax.random.PRNGKey(1), (t, h, w, 3), jnp.float32, -1.0, 1.0)
+    fwd = jax.jit(lambda p, f: G.generator_forward(p, f, nl, cfg)[0])
+    out = fwd(params, frames)
+    np.asarray(out.ravel()[0:1])      # 1-elem sync (34 MB/s tunnel)
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = fwd(params, frames)
+        np.asarray(out.ravel()[0:1])
+        runs.append((time.perf_counter() - t0) * 1e3)
+    ms = float(np.median(runs))
+    return {
+        "inpaint_ms_per_window": round(ms, 1),
+        "inpaint_ms_per_output_frame": round(ms / cfg.neighbor_stride, 1),
+    }
 
 
 def _read_occupancy_corridor():

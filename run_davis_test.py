@@ -53,6 +53,12 @@ def main() -> None:
     ap.add_argument("--configs", nargs="*", default=["baseline", "both_neg_C"])
     ap.add_argument("--max_videos", type=int, default=None)
     ap.add_argument("--save_masks", action="store_true")
+    ap.add_argument("--chunk", type=int, default=None,
+                    help="route propagation through the chunked scan + "
+                         "batched-SAM fast path (bit-equal masks, "
+                         "tests/test_chunked.py; the bench.py headline "
+                         "program) with this chunk size — K=8 is the "
+                         "measured optimum on v5e")
     args = ap.parse_args()
 
     dataset = DavisDataset(
@@ -75,6 +81,7 @@ def main() -> None:
         df = run_model_on_davis_set(
             runname, model, dataset,
             save_masks=args.save_masks, max_videos=args.max_videos,
+            chunk=args.chunk,
         )
         print(df[["video", "J_mean", "F_mean", "JF_mean", "AP", "fps"]]
               .to_string(index=False))

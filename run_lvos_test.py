@@ -29,6 +29,18 @@ def main() -> None:
     ap.add_argument("--hq", action="store_true")
     ap.add_argument("--config", default="both_neg_C")
     ap.add_argument("--max_videos", type=int, default=None)
+    ap.add_argument("--chunk", type=int, default=None,
+                    help="chunked scan + batched-SAM fast path for the "
+                         "sequential runner (bit-equal masks; K=8 is the "
+                         "measured v5e optimum). Ignored with --batch")
+    ap.add_argument("--batch", action="store_true",
+                    help="evaluate videos in lockstep batches sharded "
+                         "whole-videos-per-device over the mesh data axis "
+                         "(parallel/evaluation.py BatchedGenerator — "
+                         "BASELINE config 5, 'LVOS batched across a slice')")
+    ap.add_argument("--mesh", default=None, metavar="DPxMP",
+                    help="data x model mesh shape for --batch, e.g. 4x2 "
+                         "(default: all devices on the data axis)")
     args = ap.parse_args()
 
     dataset = LongVideoDataset(args.root, args.split_file)
@@ -36,13 +48,26 @@ def main() -> None:
         sam=SAMConfig(model_type=args.sam_model_type, hq=args.hq),
         refinement=CONFIGS[args.config],
     )
+    if args.mesh:
+        import dataclasses
+        dp, mp = (int(v) for v in args.mesh.split("x"))
+        cfg = dataclasses.replace(
+            cfg, parallel=dataclasses.replace(
+                cfg.parallel, data_parallel=dp, model_parallel=mp))
     model = TrackingAnything(
         sam_checkpoint=args.sam_checkpoint,
         xmem_checkpoint=args.xmem_checkpoint, cfg=cfg,
     )
+    batched = None
+    if args.batch:
+        from vosesam_tpu.parallel.evaluation import BatchedGenerator
+        batched = BatchedGenerator(
+            model.xmem_params, model.sam_params, model.cfg)
     runname = f"lvos_{args.config}_{uuid.uuid4().hex[:6]}"
     print(f"=== {runname} ===")
-    run_model_on_longvos_set(runname, model, dataset, max_videos=args.max_videos)
+    run_model_on_longvos_set(runname, model, dataset,
+                             max_videos=args.max_videos, batched=batched,
+                             chunk=args.chunk)
     print(f"masks saved under ./result/{runname}/masks/")
 
 

@@ -199,6 +199,18 @@ def main() -> None:
                          "env vars cannot override it, only this in-process "
                          "config switch can) — used by the test gate to run "
                          "the synthetic rows off-chip")
+    ap.add_argument("--chunk", type=int, default=None,
+                    help="route configs 1-4 through the chunked scan + "
+                         "batched-SAM fast path (bit-equal masks, "
+                         "tests/test_chunked.py — the program behind the "
+                         "bench.py headline, so the parity fps column "
+                         "measures what bench.py measures). K=8 is the "
+                         "measured v5e optimum")
+    ap.add_argument("--batch", action="store_true",
+                    help="run config 5 through the BatchedGenerator "
+                         "(videos sharded whole-per-device over the mesh "
+                         "data axis — BASELINE config 5's 'batched across "
+                         "a v5e slice' is then what actually executes)")
     ap.add_argument("--encode", default="official",
                     help="SAM encode geometry for ALL configs: 'official' "
                          "(1024 square, the reference's exact behavior), "
@@ -297,7 +309,7 @@ def main() -> None:
                     refinement=RefinementConfig(use_refinement=False)),
             )
             df = run_model_on_davis_set("parity1_bear_xmem", model, ds,
-                                        max_videos=1)
+                                        max_videos=1, chunk=args.chunk)
             _report_row(rows, "1_davis2016_bear_xmem_only", df)
         else:
             _report_row(rows, "1_davis2016_bear_xmem_only",
@@ -326,8 +338,13 @@ def main() -> None:
                 frames[0], np.asarray([[w // 2, h // 2]]),
                 np.asarray([1]), multimask=True)
             t0 = time.time()
-            masks, _logits, _painted, _scores = model.generator(
-                frames, template_mask=mask.astype(np.uint8))
+            if args.chunk:
+                masks, _scores = model.generator_chunked(
+                    frames, template_mask=mask.astype(np.uint8),
+                    chunk=args.chunk)
+            else:
+                masks, _logits, _painted, _scores = model.generator(
+                    frames, template_mask=mask.astype(np.uint8))
             fps = len(frames) / (time.time() - t0)
             outd = os.path.join(args.out, "sample_masks")
             os.makedirs(outd, exist_ok=True)
@@ -355,7 +372,8 @@ def main() -> None:
                                                 optimized=True)),
             )
             df = run_model_on_davis_set("parity3_d17_hq", model, ds,
-                                        max_videos=args.max_videos)
+                                        max_videos=args.max_videos,
+                                        chunk=args.chunk)
             _report_row(rows, "3_davis2017_val_samhq", df)
         else:
             _report_row(rows, "3_davis2017_val_samhq",
@@ -375,7 +393,8 @@ def main() -> None:
                     refinement=RefinementConfig(mode="both_neg")),
             )
             df = run_model_on_longdata_set("parity4_long", model, ds,
-                                           max_videos=args.max_videos)
+                                           max_videos=args.max_videos,
+                                           chunk=args.chunk)
             _report_row(rows, "4_longdataset_consolidation", df)
         else:
             _report_row(rows, "4_longdataset_consolidation",
@@ -394,10 +413,17 @@ def main() -> None:
                     sam=mk_sam(model_type="vit_h", hq=True),
                     refinement=RefinementConfig(mode="both_neg")),
             )
+            batched = None
+            if args.batch:
+                from vosesam_tpu.parallel.evaluation import BatchedGenerator
+                batched = BatchedGenerator(
+                    model.xmem_params, model.sam_params, model.cfg)
             df = run_model_on_longvos_set("parity5_lvos", model, ds,
-                                          max_videos=args.max_videos)
+                                          max_videos=args.max_videos,
+                                          batched=batched, chunk=args.chunk)
             _report_row(rows, "5_lvos_val", df,
-                        note="masks saved; J&F where GT present")
+                        note="masks saved; J&F where GT present"
+                             + ("; batched over mesh" if args.batch else ""))
         else:
             _report_row(rows, "5_lvos_val",
                         note="SKIP: needs XMem + sam_hq ckpt + LVOS")

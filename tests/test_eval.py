@@ -234,6 +234,33 @@ class TestRunner:
         assert vm["AP50"] == pytest.approx(1.0)
         assert vm["AP"] == pytest.approx(1.0)
 
+    def test_davis_runner_chunk_matches_sequential(self, tmp_path, monkeypatch):
+        """The `chunk` fast path wired through run_model_on_davis_set (the
+        bench.py headline program routed via generator_chunked) produces
+        identical masks and metrics to the per-frame generator — the seam
+        between the benched program and the user-facing eval harness."""
+        from tests.test_pipeline import fresh_ta
+        from vosesam_tpu.eval.runner import run_model_on_davis_set
+
+        make_davis_layout(str(tmp_path / "davis"), n_frames=5, size=(48, 64))
+        monkeypatch.chdir(tmp_path)
+        ds = DavisDataset(str(tmp_path / "davis"), "2017/val.txt")
+        model = fresh_ta(True)   # refinement ON: the production-shaped loop
+        df_seq = run_model_on_davis_set("seqrun", model, ds, save_masks=True)
+        df_chk = run_model_on_davis_set("chkrun", model, ds, save_masks=True,
+                                        chunk=2)
+        seq_dir = os.path.join("result", "seqrun", "masks", "bear")
+        chk_dir = os.path.join("result", "chkrun", "masks", "bear")
+        files = sorted(os.listdir(seq_dir))
+        assert files == sorted(os.listdir(chk_dir)) and len(files) == 5
+        for f in files:
+            np.testing.assert_array_equal(
+                load_palette_mask(os.path.join(seq_dir, f)),
+                load_palette_mask(os.path.join(chk_dir, f)), err_msg=f)
+        for col in ("J_mean", "F_mean", "JF_mean", "AP"):
+            np.testing.assert_allclose(df_chk[col], df_seq[col], atol=1e-9,
+                                       err_msg=col)
+
 
 class TestOvis:
     def _make_layout(self, root):

@@ -92,13 +92,22 @@ def test_config1_runs_end_to_end(tmp_path):
     assert not row["note"].startswith("SKIP")
 
 
-def test_synthetic_all_five_end_to_end(tmp_path):
+@pytest.fixture(scope="module")
+def synthetic_seq_run(tmp_path_factory):
+    """One sequential `--synthetic` run shared by the tests below (the CLI
+    subprocess is the expensive part; its inputs are deterministic)."""
+    base = tmp_path_factory.mktemp("parity_seq")
+    out = base / "out"
+    _run_cli(["--synthetic", "--out", str(out)], cwd=str(base))
+    return base, out
+
+
+def test_synthetic_all_five_end_to_end(synthetic_seq_run):
     """`run_parity.py --synthetic`: every BASELINE config row executes at toy
     scale through the REAL code paths — official-schema .pth checkpoints
     (XMem surgery + SAM/HQ conversion), dataset loaders, runners, report —
     so the harness is proven executable before real artifacts arrive."""
-    out = tmp_path / "out"
-    _run_cli(["--synthetic", "--out", str(out)], cwd=str(tmp_path))
+    tmp_path, out = synthetic_seq_run
 
     with open(out / "parity_report.json") as f:
         rows = json.load(f)
@@ -116,3 +125,48 @@ def test_synthetic_all_five_end_to_end(tmp_path):
     # LVOS masks written by the runner (relative to the CLI's cwd)
     assert os.path.exists(
         tmp_path / "result" / "parity5_lvos" / "masks" / "clip" / "00000.png")
+
+
+def test_synthetic_chunked_and_batched_match_sequential(
+        synthetic_seq_run, tmp_path):
+    """`run_parity.py --synthetic --chunk 2 --batch` (the measured-fastest
+    paths: generator_chunked for configs 1-4, BatchedGenerator for config 5)
+    produces the same report metrics and bit-identical saved masks as the
+    sequential run — the fast paths users invoke are the audited ones.
+    Inputs are deterministic (fixed PRNG seeds in _syn_checkpoints/_syn_data),
+    so any mask difference is a real divergence of the fast paths."""
+    seq_base, seq_out = synthetic_seq_run
+    out = tmp_path / "out"
+    _run_cli(["--synthetic", "--out", str(out), "--chunk", "2", "--batch"],
+             cwd=str(tmp_path))
+
+    with open(seq_out / "parity_report.json") as f:
+        seq_rows = {r["config"]: r for r in json.load(f)}
+    with open(out / "parity_report.json") as f:
+        fast_rows = {r["config"]: r for r in json.load(f)}
+    assert seq_rows.keys() == fast_rows.keys()
+    for cfg_name, seq in seq_rows.items():
+        fast = fast_rows[cfg_name]
+        assert not (fast["note"] or "").startswith("SKIP"), fast
+        for col in ("J_mean", "F_mean", "JF_mean"):
+            if seq[col] is None:
+                assert fast[col] is None, (cfg_name, col)
+            else:
+                np.testing.assert_allclose(
+                    fast[col], seq[col], atol=1e-9,
+                    err_msg=f"{cfg_name} {col}")
+
+    from vosesam_tpu.eval.palette import load_palette_mask
+
+    # config 2's saved sample masks and config 5's LVOS palette tree
+    for seq_root, fast_root in (
+            (seq_out / "sample_masks", out / "sample_masks"),
+            (seq_base / "result" / "parity5_lvos" / "masks" / "clip",
+             tmp_path / "result" / "parity5_lvos" / "masks" / "clip")):
+        files = sorted(os.listdir(seq_root))
+        assert files == sorted(os.listdir(fast_root)) and files
+        for f in files:
+            np.testing.assert_array_equal(
+                load_palette_mask(str(seq_root / f)),
+                load_palette_mask(str(fast_root / f)),
+                err_msg=f"{seq_root}/{f}")

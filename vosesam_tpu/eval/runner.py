@@ -40,10 +40,19 @@ def _append_global_ledger(row: Dict) -> None:
 def _eval_one_video(
     model, frames: List[np.ndarray], template_mask: np.ndarray,
     gt_masks: List[Optional[np.ndarray]],
+    chunk: Optional[int] = None,
 ) -> Dict:
+    """`chunk`: route propagation through the measured-fastest
+    generator_chunked path (bit-equal masks, tests/test_chunked.py) —
+    the program behind the bench.py headline. None = per-frame generator
+    (the reference's track_anything.py:56-81 analogue)."""
     model.xmem.clear_memory()
     t0 = time.time()
-    masks, logits, painted, scores = model.generator(frames, template_mask)
+    if chunk:
+        masks, scores = model.generator_chunked(frames, template_mask,
+                                                chunk=chunk)
+    else:
+        masks, logits, painted, scores = model.generator(frames, template_mask)
     dt = time.time() - t0
     # Scores are ordered by the tracker's *remapped* contiguous slots
     # (utils/mask_mapper.py); GT palettes may be non-contiguous (e.g. {0,3,7}).
@@ -99,8 +108,9 @@ def run_model_on_davis_set(
     save_masks: bool = False,
     compute_video: bool = False,
     max_videos: Optional[int] = None,
+    chunk: Optional[int] = None,
 ) -> pd.DataFrame:
-    """runner.py:13-124."""
+    """runner.py:13-124. `chunk`: see _eval_one_video."""
     run_dir = _result_dir(runname)
     per_video: List[Dict] = []
     for vi, info in enumerate(dataset.iter_videos()):
@@ -109,7 +119,7 @@ def run_model_on_davis_set(
         video = info["name"]
         frames = dataset.load_frames(video, info["frames"])
         gts = [dataset.load_mask(video, f) for f in info["frames"]]
-        vm = _eval_one_video(model, frames, gts[0], gts)
+        vm = _eval_one_video(model, frames, gts[0], gts, chunk=chunk)
         vm["video"] = video
         per_video.append(vm)
         if save_masks:
@@ -151,8 +161,10 @@ def run_model_on_longdata_set(
     dataset: LongVideoDataset,
     save_masks: bool = False,
     max_videos: Optional[int] = None,
+    chunk: Optional[int] = None,
 ) -> pd.DataFrame:
-    """runner.py:127-223 — metrics only at annotated frame ids."""
+    """runner.py:127-223 — metrics only at annotated frame ids.
+    `chunk`: see _eval_one_video."""
     run_dir = _result_dir(runname)
     per_video: List[Dict] = []
     for vi, info in enumerate(dataset.iter_videos()):
@@ -164,7 +176,7 @@ def run_model_on_longdata_set(
         for i in info["test_ids"]:
             gts[i] = dataset.load_mask(video, info["frames"][i])
         template = gts[info["test_ids"][0]]
-        vm = _eval_one_video(model, frames, template, gts)
+        vm = _eval_one_video(model, frames, template, gts, chunk=chunk)
         vm["video"] = video
         per_video.append(vm)
         if save_masks:
@@ -197,6 +209,7 @@ def run_model_on_longvos_set(
     dataset: LongVideoDataset,
     max_videos: Optional[int] = None,
     batched=None,
+    chunk: Optional[int] = None,
 ) -> None:
     """runner.py:226-284 — no metrics; masks saved for external evaluation.
 
@@ -245,6 +258,10 @@ def run_model_on_longvos_set(
         frames = dataset.load_frames(video, info["frames"])
         template = dataset.load_mask(video, info["frames"][info["test_ids"][0]])
         model.xmem.clear_memory()
-        masks, *_ = model.generator(frames, template)
+        if chunk:
+            masks, _scores = model.generator_chunked(frames, template,
+                                                     chunk=chunk)
+        else:
+            masks, *_ = model.generator(frames, template)
         model.xmem.clear_memory()
         _save(info, masks)

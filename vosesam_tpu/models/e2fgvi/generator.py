@@ -442,6 +442,18 @@ def generator_forward(
     frames must be valid (they feed the flow/propagation path)."""
     t, h, w, _ = masked_frames.shape
     lt = num_local
+    if "bias" in params["sc"]:
+        # Non-HQ E2FGVI: SoftComp carries a learned additive bias pinned to
+        # the (60, 108) feature grid (tfocal_transformer.py:56-63), so only
+        # the 240x432 training size is valid. Fail with a clear message
+        # instead of an opaque broadcast error in soft_comp's bias add.
+        bh, bw = params["sc"]["bias"].shape[:2]
+        if (h, w) != (bh * 4, bw * 4):
+            raise ValueError(
+                f"InpainterConfig(hq=False) only supports "
+                f"{bh * 4}x{bw * 4} inputs (SoftComp's learned bias is "
+                f"pinned to the ({bh}, {bw}) feature grid); got {h}x{w}. "
+                f"Use hq=True for arbitrary resolutions.")
 
     # bidirectional flows on the local window (frames mapped back to [0,1])
     local01 = (masked_frames[:lt] + 1.0) / 2.0

@@ -10,8 +10,12 @@ a never-initialized DDP wrapper (tracker/model/trainer.py:27-29, SURVEY.md
   - `model` axis: optional tensor parallelism for the SAM ViT encoder
     (attention heads / MLP hidden sharded; XLA inserts the collectives).
 
-Collectives ride ICI within a slice; `jax.distributed.initialize` extends the
-same mesh across hosts (DCN) without code changes."""
+Collectives ride ICI within a slice; `init_distributed()` (a thin
+`jax.distributed.initialize` wrapper) extends the same mesh across hosts
+(DCN): `jax.devices()` then spans all processes, `make_mesh` lays the same
+named mesh over them, and `shard_batch` switches to global-array
+construction. Exercised end-to-end by a real 2-process CPU cluster in
+tests/test_multihost.py (scripts/multihost_worker.py)."""
 
 from __future__ import annotations
 
@@ -22,6 +26,29 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vosesam_tpu.config import ParallelConfig
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    **kwargs,
+) -> None:
+    """Initialize the JAX distributed runtime for multi-host execution.
+
+    Call once per process BEFORE any computation; afterwards `jax.devices()`
+    spans every host and `make_mesh()` builds one global mesh whose
+    data-axis collectives ride DCN between hosts and ICI within a slice.
+    On TPU pods all three arguments come from the environment (pass
+    nothing); on CPU/GPU clusters pass them explicitly. The reference has
+    no working analogue — its DDP wrapper is never initialized
+    (tracker/model/trainer.py:27-29)."""
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+        **kwargs,
+    )
 
 
 def make_mesh(cfg: ParallelConfig, devices: Optional[Sequence] = None) -> Mesh:
@@ -45,11 +72,24 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(tree, mesh: Mesh, cfg: ParallelConfig):
-    """Place a leading-batch pytree with the batch axis over `data`."""
-    sh = data_sharding(mesh, cfg)
+    """Place a leading-batch pytree with the batch axis over `data`.
+
+    Works on a multi-host mesh too: when the mesh spans processes (devices
+    this process cannot address), the global array is assembled from the
+    host copy via make_array_from_callback — every process holds the full
+    batch on host (the eval drivers load whole datasets), and each
+    contributes only its addressable shards."""
+    multihost = any(
+        d.process_index != jax.process_index() for d in mesh.devices.flat
+    )
 
     def place(x):
-        return jax.device_put(x, NamedSharding(mesh, P(cfg.data_axis, *([None] * (x.ndim - 1)))))
+        sh = NamedSharding(mesh, P(cfg.data_axis, *([None] * (x.ndim - 1))))
+        if multihost:
+            xnp = np.asarray(x)
+            return jax.make_array_from_callback(
+                xnp.shape, sh, lambda idx: xnp[idx])
+        return jax.device_put(x, sh)
 
     return jax.tree.map(place, tree)
 
