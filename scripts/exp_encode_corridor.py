@@ -221,6 +221,10 @@ def run_corridor(scale="half"):
 
     if scale == "full":
         frame_hw, image_size, lb = (480, 854), 1024, (448, 896)
+    elif scale == "tiny":
+        # same fit ratios (0.933 letterbox vs 1.196 official longest-side)
+        # at 1/4 cost — what tests/test_encode_corridor.py asserts
+        frame_hw, image_size, lb = (120, 214), 256, (112, 224)
     else:
         frame_hw, image_size, lb = (240, 427), 512, (224, 448)
 
@@ -277,7 +281,7 @@ def main():
 
     jax.config.update("jax_platforms", "cpu")
     ap = argparse.ArgumentParser()
-    ap.add_argument("--scale", default="half", choices=("half", "full"))
+    ap.add_argument("--scale", default="half", choices=("tiny", "half", "full"))
     args = ap.parse_args()
     rows = run_corridor(args.scale)
     cols = list(rows[0].keys())
