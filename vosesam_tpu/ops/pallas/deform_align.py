@@ -27,11 +27,20 @@ pointer-chasing. The window radius R bounds the representable displacement
 <= 10 and taps <= 1, so the kernel is EXACT whenever the per-pixel flow
 magnitude is <= R - 12 and degrades gracefully beyond (out-of-window corner
 contributions are dropped — the same zero-padding family as mmcv's
-out-of-field behavior). This makes it an opt-in fast gear
-(InpainterConfig.deform_window_radius); the exact XLA gather path remains
-the default. tests/test_deform_align_kernel.py pins bit-behavior in
-interpret mode: equality with the exact path when flows fit the window,
-drop semantics beyond.
+out-of-field behavior). tests/test_deform_align_kernel.py pins the
+semantics in interpret mode: equality with the exact path when flows fit
+the window, drop semantics beyond.
+
+STATUS (round 4, 2026-08-20): NOT WIRED into the product — closed on
+arithmetic + toolchain grounds after the full measurement campaign
+(BASELINE.md "Deform-align gather attack"): the minimum exact window is
+R=12 (the model's own tanh residual), putting the scan at ~10-18 ms per
+align call at plausible v5e VPU rates — parity-to-loss vs the 16.5 ms XLA
+gather — and the Mosaic remote compiler timed out (>30 min) on even a
+128-bin unrolled probe, while fori-loop variants hit dynamic-unaligned-
+sublane and 3-D-reshape lowering rejections. Kept in-tree, semantically
+validated, as the revival candidate for a TPU generation with
+SparseCore-assisted gather or a Mosaic dynamic-gather primitive.
 
 LAYOUT NOTES (all load-bearing on Mosaic):
   - x is processed per HALF (first-order groups 0-7 sample channels 0:128
