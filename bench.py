@@ -344,7 +344,11 @@ def _measure(cfg, all_np, h, w, chunk, n_frames, refine, stages, reps=1):
             enc_flops = float(ca["flops"]) / chunk   # per frame
             tflops = enc_flops / (enc_ms * 1e-3) / 1e12
             stage_info["encode_tflops"] = round(tflops, 2)
+            # vs the 76.5 TFLOPS dependent-chain measurement (BASELINE.md;
+            # a ratio > 1 re-confirms that "ceiling" was a latency artifact)
             stage_info["mfu_vs_ceiling"] = round(tflops / 76.5, 3)
+            # vs the v5e spec peak (394 TFLOPS bf16) — the honest MFU
+            stage_info["mfu_vs_peak"] = round(tflops / 394.0, 3)
         except Exception as e:                       # backend w/o cost model
             print(f"# encode cost_analysis unavailable: {e}", file=sys.stderr)
 

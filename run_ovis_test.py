@@ -38,6 +38,9 @@ def main() -> None:
     ap.add_argument("--configs", nargs="*", default=["baseline", "both_neg_C"])
     ap.add_argument("--max_videos", type=int, default=None)
     ap.add_argument("--save_masks", action="store_true")
+    ap.add_argument("--chunk", type=int, default=None,
+                    help="chunked scan + batched-SAM fast path (bit-equal "
+                         "masks; K=8 is the measured v5e optimum)")
     args = ap.parse_args()
 
     dataset = OvisDataset(args.images_root, args.annotations)
@@ -56,6 +59,7 @@ def main() -> None:
         df = run_model_on_ovis_set(
             runname, model, dataset,
             save_masks=args.save_masks, max_videos=args.max_videos,
+            chunk=args.chunk,
         )
         print(df[["video", "J_mean", "F_mean", "JF_mean", "AP", "fps"]]
               .to_string(index=False))

@@ -80,8 +80,11 @@ def run_model_on_ovis_set(
     compute_metrics: bool = True,
     save_masks: bool = False,
     max_videos: Optional[int] = None,
+    chunk: Optional[int] = None,
 ) -> pd.DataFrame:
-    """videoPipeline.ipynb run_model_on_ovis_set equivalent."""
+    """videoPipeline.ipynb run_model_on_ovis_set equivalent.
+    `chunk`: route propagation through the chunked fast path (bit-equal
+    masks; see eval/runner._eval_one_video)."""
     run_dir = _result_dir(runname)
     per_video: List[Dict] = []
     for vi, video in enumerate(dataset.videos):
@@ -96,7 +99,7 @@ def run_model_on_ovis_set(
             [dataset.indexed_gt(video, i) for i in range(len(frames))]
             if compute_metrics else [template] + [None] * (len(frames) - 1)
         )
-        vm = _eval_one_video(model, frames, template, gts)
+        vm = _eval_one_video(model, frames, template, gts, chunk=chunk)
         vm["video"] = name
         per_video.append(vm)
         if save_masks:
