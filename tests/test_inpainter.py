@@ -197,6 +197,40 @@ class TestDriver:
                     atol=1, err_msg=f"t={t} frame {i}")
 
     @pytest.mark.slow
+    def test_device_composite_matches_host(self):
+        """InpainterConfig.device_composite (the default: once-uploaded
+        video, in-jit window gather, jitted masked-composite + 50/50 blend,
+        one uint8 download) must reproduce the host-compositing
+        reference-shaped path on every frame — static AND variable window
+        regimes, with a downscale ratio in the mix."""
+        import dataclasses
+
+        inp_dev = Inpainter(cfg=dataclasses.replace(
+            CFG, static_windows=True, device_composite=True))
+        inp_host = Inpainter(cfg=dataclasses.replace(
+            CFG, static_windows=True, device_composite=False),
+            params=inp_dev.params)
+        rng = np.random.default_rng(5)
+        for t, ratio in ((28, 1.0), (6, 1.0), (16, 0.5)):
+            hw = (60, 108) if ratio == 1.0 else (120, 216)
+            frames = [rng.integers(0, 255, hw + (3,), np.uint8)
+                      for _ in range(t)]
+            masks = []
+            for _ in range(t):
+                m = np.zeros(hw, np.uint8)
+                m[20:35, 40:70] = 1
+                masks.append(m)
+            out_d = inp_dev.inpaint_efficient(frames, masks, ratio=ratio,
+                                              dilate_radius=2)
+            out_h = inp_host.inpaint_efficient(frames, masks, ratio=ratio,
+                                               dilate_radius=2)
+            assert len(out_d) == len(out_h) == t
+            for i in range(t):
+                np.testing.assert_allclose(
+                    out_d[i].astype(np.int32), out_h[i].astype(np.int32),
+                    atol=1, err_msg=f"t={t} ratio={ratio} frame {i}")
+
+    @pytest.mark.slow
     def test_inpaint_small_video(self):
         inp = Inpainter(cfg=CFG)
         rng = np.random.default_rng(0)

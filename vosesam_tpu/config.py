@@ -257,6 +257,17 @@ class InpainterConfig:
     # T-step propagation chain by B — same depth, B-x larger convs/gathers,
     # B-x fewer dispatches. Requires static_windows; ignored otherwise.
     window_batch: int = 1
+    # On-device compositing (TPU fast path, default ON): the padded video
+    # uploads ONCE, windows are gathered on-device inside the generator jit,
+    # and the reference's masked-composite + 50/50 overlap blend
+    # (base_inpainter.py:129-146) runs in a jitted update against a
+    # device-resident buffer — ONE uint8 download per subset instead of a
+    # full fp32 window round-trip per window (2 x ~19 MB at 240x432 T=15;
+    # ~1 s/window on the 34 MB/s dev tunnel, 2 PCIe round-trips saved in
+    # production). Blend order and arithmetic match the host path
+    # (tests/test_inpainter.py equality). False = the host-compositing
+    # reference-shaped path.
+    device_composite: bool = True
     hidden_dim: int = 512
     num_blocks: int = 8
     num_heads: int = 4

@@ -85,6 +85,46 @@ def static_ref_budget(t: int, stride: int, step: int) -> int:
     return best
 
 
+@jax.jit
+def _to_uint8(c: jax.Array) -> jax.Array:
+    return jnp.clip(c, 0, 255).astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _dilate_n(m: jax.Array, n: int) -> jax.Array:
+    """n rounds of 3x3 dilation over (T, H, W) masks, one jit (the host
+    path's per-iteration round trips cost ~6 MB x n over the dev tunnel)."""
+    for _ in range(n):
+        m = jax.vmap(lambda x: morph.dilate(x, 1))(m)
+    return m
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _resize_all(frames_u8: jax.Array, masks: jax.Array, nh: int, nw: int):
+    t = frames_u8.shape[0]
+    fr = jax.image.resize(
+        frames_u8.astype(jnp.float32), (t, nh, nw, 3), "linear")
+    mk = jax.image.resize(masks, (t, nh, nw), "nearest")
+    return fr, mk
+
+
+@jax.jit
+def _norm_pad(frames_f: jax.Array, masks: jax.Array) -> jax.Array:
+    """[0,255] frames -> [-1,1] masked video, flip-padded to mod-60/108
+    (the device twin of _flip_pad)."""
+    h, w = frames_f.shape[1:3]
+    ph = -h % 60
+    pw = -w % 108
+    masked = (frames_f / 127.5 - 1.0) * (1.0 - masks[..., None])
+    if ph:
+        masked = jnp.concatenate([masked, masked[:, h - ph:][:, ::-1]], axis=1)
+    if pw:
+        wcur = masked.shape[2]
+        masked = jnp.concatenate(
+            [masked, masked[:, :, wcur - pw:][:, :, ::-1]], axis=2)
+    return masked
+
+
 def _flip_pad(x: np.ndarray, mod_h: int = 60, mod_w: int = 108) -> np.ndarray:
     """Pad H/W to the generator's module sizes by flip reflection
     (base_inpainter.py:149-158)."""
@@ -129,6 +169,15 @@ class Inpainter:
             lambda p, f, nl: G.generator_forward(p, f, nl, self.cfg),
             static_argnums=2,
         )
+        # Device-composite fast path (InpainterConfig.device_composite): the
+        # window gather happens INSIDE the jit from the once-uploaded padded
+        # video (ids traced i32) — no per-window host->device window upload.
+        self._fwd_gather = jax.jit(
+            lambda p, video, ids, nl, fv: G.generator_forward(
+                p, video[ids], nl, self.cfg, frame_valid=fv)[0],
+            static_argnums=3,
+        )
+        self._composite_fns = {}   # (n_written, h, w) -> jitted update
         self._fwd_masked = jax.jit(
             lambda p, f, nl, fv: G.generator_forward(
                 p, f, nl, self.cfg, frame_valid=fv),
@@ -162,11 +211,174 @@ class Inpainter:
             out, _ = self._fwd(self.params, jnp.asarray(frames_np), num_local)
         return np.asarray(out)
 
+    # ---------------------------------------------- device composite path
+
+    def _composite_update_fn(self, n_written: int, h: int, w: int):
+        """Jitted masked-composite + 50/50 overlap blend for one window's
+        contiguous write span (base_inpainter.py:129-146 arithmetic, same
+        order as the host path). One signature per distinct span length."""
+        key = (n_written, h, w)
+        fn = self._composite_fns.get(key)
+        if fn is None:
+
+            def update(comp, seen, pred, frames_f, masks_f, w0, nb_start):
+                seg = jax.lax.dynamic_slice(
+                    pred, (w0 - nb_start, 0, 0, 0),
+                    (n_written, pred.shape[1], pred.shape[2], 3))[:, :h, :w]
+                seg = (seg + 1.0) / 2.0 * 255.0
+                m = jax.lax.dynamic_slice(
+                    masks_f, (w0, 0, 0), (n_written, h, w))[..., None]
+                img = jax.lax.dynamic_slice(
+                    frames_f, (w0, 0, 0, 0), (n_written, h, w, 3))
+                compseg = seg * m + img * (1.0 - m)
+                old = jax.lax.dynamic_slice(
+                    comp, (w0, 0, 0, 0), (n_written, h, w, 3))
+                oldseen = jax.lax.dynamic_slice(seen, (w0,), (n_written,))
+                new = jnp.where(oldseen[:, None, None, None],
+                                0.5 * old + 0.5 * compseg, compseg)
+                comp = jax.lax.dynamic_update_slice(comp, new, (w0, 0, 0, 0))
+                seen = jax.lax.dynamic_update_slice(
+                    seen, jnp.ones((n_written,), bool), (w0,))
+                return comp, seen
+
+            fn = jax.jit(update)
+            self._composite_fns[key] = fn
+        return fn
+
+    def _preprocess_device(self, frames, masks, ratio, radius):
+        """Mask dilation, optional downscale, normalization and flip-pad,
+        all in device-resident jits (the host path round-trips per dilation
+        iteration — ~6 MB x radius over the dev tunnel)."""
+        h, w = frames[0].shape[:2]
+        frames_u8 = jnp.asarray(np.stack(frames))
+        masks_b = jnp.asarray(
+            np.stack([np.asarray(m) > 0 for m in masks]), jnp.float32)
+
+        if radius > 0:
+            masks_b = _dilate_n(masks_b, radius)
+
+        if ratio != 1.0:
+            nh = max(50, int(h * ratio)) // 2 * 2
+            nw = max(50, int(w * ratio)) // 2 * 2
+            frames_f, masks_b = _resize_all(frames_u8, masks_b, nh, nw)
+            h, w = nh, nw
+        else:
+            frames_f = frames_u8.astype(jnp.float32)
+
+        padded = _norm_pad(frames_f, masks_b)
+        return frames_f, masks_b, padded, h, w
+
     def inpaint_efficient(
         self, frames: Sequence[np.ndarray], masks: Sequence[np.ndarray],
         ratio: float = 1.0, dilate_radius: Optional[int] = None,
     ) -> List[np.ndarray]:
         """base_inpainter.py:53-174 for one subset."""
+        if self.cfg.device_composite:
+            return self._inpaint_efficient_device(
+                frames, masks, ratio, dilate_radius)
+        return self._inpaint_efficient_host(frames, masks, ratio, dilate_radius)
+
+    def _inpaint_efficient_device(
+        self, frames: Sequence[np.ndarray], masks: Sequence[np.ndarray],
+        ratio: float = 1.0, dilate_radius: Optional[int] = None,
+    ) -> List[np.ndarray]:
+        """Device-composite fast path: the padded video uploads once, every
+        window is gathered and predicted on-device, the reference's
+        composite/blend runs in a jitted update, and ONE uint8 array comes
+        back per subset — vs a ~19 MB fp32 round trip per window on the
+        host path (same windows, same blend order/arithmetic;
+        tests/test_inpainter.py asserts equality)."""
+        cfg = self.cfg
+        radius = cfg.dilate_radius if dilate_radius is None else dilate_radius
+        t = len(frames)
+        frames_f, masks_f, padded, h, w = self._preprocess_device(
+            frames, masks, ratio, radius)
+
+        use_static = (
+            cfg.static_windows and cfg.num_ref == -1
+            and t > 2 * cfg.neighbor_stride + 1
+        )
+        r_static = (static_ref_budget(t, cfg.neighbor_stride, cfg.step)
+                    if use_static else 0)
+        anchors = list(range(0, t, cfg.neighbor_stride))
+        dp = 0
+        if self.mesh is not None and use_static:
+            dp = self.mesh.devices.shape[0]
+            wb = dp * max(1, cfg.window_batch)
+        else:
+            wb = cfg.window_batch if use_static else 1
+
+        comp = jnp.zeros((t, h, w, 3), jnp.float32)
+        seen = jnp.zeros((t,), bool)
+
+        for g in range(0, len(anchors), max(wb, 1)):
+            group = anchors[g:g + max(wb, 1)]
+            preds_dev = None
+            if use_static:
+                plans = [static_window_plan(
+                    f, t, cfg.neighbor_stride, cfg.step, r_static)
+                    for f in group]
+                if wb > 1:
+                    n_real = len(plans)
+                    pad_plans = plans + [plans[-1]] * (wb - n_real)
+                    # window gather on device (one slice dispatch per group)
+                    idsb = jnp.asarray([p[0] for p in pad_plans], jnp.int32)
+                    windows = padded[idsb]
+                    valids = jnp.asarray(np.stack([
+                        np.arange(len(p[0])) < p[2] for p in pad_plans]))
+                    if dp:
+                        nl = plans[0][1]
+                        fn = self._sharded_fns.get(nl)
+                        if fn is None:
+                            fn = self._shardlib.make_sharded_window_fn(
+                                cfg, self.mesh, nl)
+                            self._sharded_fns[nl] = fn
+                        wj, vj = self._shardlib.shard_windows(
+                            windows, valids, self.mesh)
+                        preds_dev = fn(self.params, wj, vj)
+                    else:
+                        preds_dev = self._fwd_masked_batched(
+                            self.params, windows, plans[0][1], valids)
+            for bi, f in enumerate(group):
+                if use_static:
+                    ids, num_local, n_valid, write_ids = plans[bi]
+                    nb_start = ids[0]
+                    if wb > 1:
+                        pred = preds_dev[bi]
+                    else:
+                        valid = jnp.asarray(np.arange(len(ids)) < n_valid)
+                        pred = self._fwd_gather(
+                            self.params, padded,
+                            jnp.asarray(ids, jnp.int32), num_local, valid)
+                else:
+                    write_ids = list(
+                        range(max(0, f - cfg.neighbor_stride),
+                              min(t, f + cfg.neighbor_stride + 1))
+                    )
+                    ref_ids = get_ref_index(
+                        f, write_ids, t, cfg.num_ref, cfg.step)
+                    ids = write_ids + ref_ids
+                    num_local = len(write_ids)
+                    nb_start = write_ids[0]
+                    pred = self._fwd_gather(
+                        self.params, padded, jnp.asarray(ids, jnp.int32),
+                        num_local, jnp.ones((len(ids),), bool))
+
+                upd = self._composite_update_fn(len(write_ids), h, w)
+                comp, seen = upd(comp, seen, pred, frames_f, masks_f,
+                                 jnp.int32(write_ids[0]), jnp.int32(nb_start))
+
+        out = np.asarray(_to_uint8(comp))
+        return [out[i] for i in range(t)]
+
+    # ------------------------------------------------- host composite path
+
+    def _inpaint_efficient_host(
+        self, frames: Sequence[np.ndarray], masks: Sequence[np.ndarray],
+        ratio: float = 1.0, dilate_radius: Optional[int] = None,
+    ) -> List[np.ndarray]:
+        """base_inpainter.py:53-174 for one subset (host compositing —
+        the reference-shaped path, kept as the equality baseline)."""
         cfg = self.cfg
         radius = cfg.dilate_radius if dilate_radius is None else dilate_radius
         t = len(frames)
