@@ -225,10 +225,32 @@ class TestDriver:
             out_h = inp_host.inpaint_efficient(frames, masks, ratio=ratio,
                                                dilate_radius=2)
             assert len(out_d) == len(out_h) == t
+            # Platform-independent invariant: OUTSIDE the dilated mask both
+            # paths are the pure img passthrough -> must be bit-exact on any
+            # backend. Inside the mask the generator's warp-floor
+            # discontinuities can amplify compile-fusion fp noise under
+            # random weights (measured on TPU: 4.5% of inpainted pixels,
+            # BASELINE.md), so the tight atol holds only where the CPU
+            # backend's fusions stay within rounding — which this CPU-pinned
+            # suite asserts below.
+            from vosesam_tpu.pipeline.inpaint import _dilate_n
+
+            dil = np.asarray(_dilate_n(jnp.asarray(
+                np.stack([m > 0 for m in masks]), jnp.float32), 2)) > 0
+            if ratio != 1.0:
+                import jax as _jax
+                dil = np.asarray(_jax.image.resize(
+                    jnp.asarray(dil, jnp.float32),
+                    (t, out_d[0].shape[0], out_d[0].shape[1]),
+                    "nearest")) > 0
             for i in range(t):
-                np.testing.assert_allclose(
-                    out_d[i].astype(np.int32), out_h[i].astype(np.int32),
-                    atol=1, err_msg=f"t={t} ratio={ratio} frame {i}")
+                d = np.abs(out_d[i].astype(np.int32)
+                           - out_h[i].astype(np.int32)).max(-1)
+                assert d[~dil[i]].max() == 0, (
+                    f"t={t} ratio={ratio} frame {i}: device/host differ "
+                    "OUTSIDE the mask — compositing logic broken")
+                np.testing.assert_array_less(
+                    d, 2, err_msg=f"t={t} ratio={ratio} frame {i}")
 
     @pytest.mark.slow
     def test_inpaint_small_video(self):
