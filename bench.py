@@ -192,9 +192,13 @@ def main() -> None:
         lb_cfg = dataclasses.replace(
             cfg, sam=dataclasses.replace(cfg.sam,
                                          encode_letterbox_hw=(448, 896)))
+        # median-of-reps here too: a single-shot letterbox row caught a
+        # transient session stall (28.3 -> 5.2 fps for identical code,
+        # 2026-08-20 pm) that the median-of-3 default row rode out.
         lb_runs, _, _ = _measure(lb_cfg, all_np, h, w, chunk, n_frames,
-                                 refine, stages=False)
+                                 refine, stages=False, reps=reps)
         lb_fps = float(np.median(lb_runs))
+        extras["letterbox_fps_runs"] = [round(f, 3) for f in lb_runs]
         extras["letterbox_fps"] = round(lb_fps, 3)
         extras["letterbox_vs_baseline"] = round(lb_fps / 20.0, 3)
         # live_end occupancy corridor of the fused memory read at the
