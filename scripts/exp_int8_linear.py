@@ -46,8 +46,20 @@ def _time(fn, *args):
     return (time.perf_counter() - t0) / REPS * 1e3  # ms per chain call
 
 
+def _log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
 def main():
     rng = np.random.default_rng(0)
+    # cheap support probe: does the backend compile an s8xs8->s32 dot at all?
+    _log("probe: tiny int8 dot compile...")
+    a = jnp.ones((256, 256), jnp.int8)
+    r = jax.jit(lambda a: jax.lax.dot_general(
+        a, a, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32))(a)
+    np.asarray(r)
+    _log("probe OK")
     x0 = jnp.asarray(rng.standard_normal((TOKENS, CIN)), jnp.bfloat16)
     w1 = jnp.asarray(rng.standard_normal((CIN, CHID)) * 0.02, jnp.bfloat16)
     w2 = jnp.asarray(rng.standard_normal((CHID, CIN)) * 0.02, jnp.bfloat16)
@@ -109,22 +121,26 @@ def main():
 
     flops = 2 * TOKENS * CIN * CHID * 2 * DEPTH   # both dots, per chain call
 
+    _log("compiling bf16 chain...")
     jb = jax.jit(mlp_bf16)
     ms_b = _time(jb, x0, w1, w2)
     print(f"bf16        : {ms_b:8.2f} ms/chain  "
           f"{flops / ms_b / 1e9:7.1f} TFLOPS")
 
+    _log("compiling int8-dyn chain...")
     jd = jax.jit(lambda x, a, b, c, d: mlp_int8(x, a, b, c, d, None))
     ms_d = _time(jd, x0, w1q, s1, w2q, s2)
     print(f"int8 dynamic: {ms_d:8.2f} ms/chain  "
           f"{flops / ms_d / 1e9:7.1f} TOPS   speedup {ms_b / ms_d:.3f}x")
 
+    _log("compiling int8-static chain...")
     js = jax.jit(lambda x, a, b, c, d: mlp_int8(x, a, b, c, d,
                                                 jnp.float32(0.05)))
     ms_s = _time(js, x0, w1q, s1, w2q, s2)
     print(f"int8 static : {ms_s:8.2f} ms/chain  "
           f"{flops / ms_s / 1e9:7.1f} TOPS   speedup {ms_b / ms_s:.3f}x")
 
+    _log("numerics check...")
     # numerics: relative error of one dynamic-quant block vs fp32
     xf = x0.astype(jnp.float32)
     ref = np.asarray(
