@@ -102,6 +102,46 @@ class TestServer:
         finally:
             httpd.shutdown()
 
+    def test_inpaint_endpoint(self, model):
+        import urllib.error
+
+        from vosesam_tpu.config import InpainterConfig
+        from vosesam_tpu.pipeline.inpaint import Inpainter
+        from vosesam_tpu.serve.server import serve
+
+        httpd = serve(model, port=0)
+        port = httpd.server_address[1]
+        base = f"http://127.0.0.1:{port}"
+        rng = np.random.default_rng(4)
+        frames = [rng.integers(0, 255, (60, 108, 3), np.uint8)
+                  for _ in range(3)]
+        hole = np.zeros((60, 108), np.uint8)
+        hole[20:35, 40:70] = 1
+        req = json.dumps({
+            "frames": [b64_img(f) for f in frames],
+            "masks": [b64_mask(hole)] * 3,
+            "dilate_radius": 2,
+        }).encode()
+        post = urllib.request.Request(
+            f"{base}/inpaint", data=req,
+            headers={"Content-Type": "application/json"})
+        try:
+            # no inpainter loaded -> 503 with a clear message
+            with pytest.raises(urllib.error.HTTPError) as e:
+                urllib.request.urlopen(post)
+            assert e.value.code == 503
+
+            model.baseinpainter = Inpainter(
+                cfg=InpainterConfig(num_blocks=1, static_windows=True))
+            out = json.loads(urllib.request.urlopen(post).read())
+            assert len(out["frames"]) == 3
+            f0 = np.array(Image.open(io.BytesIO(
+                base64.b64decode(out["frames"][0]))))
+            assert f0.shape == (60, 108, 3) and f0.dtype == np.uint8
+        finally:
+            model.baseinpainter = None
+            httpd.shutdown()
+
     def test_unknown_route_404(self, model):
         from vosesam_tpu.serve.server import serve
 

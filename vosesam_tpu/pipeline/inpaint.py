@@ -502,14 +502,14 @@ class Inpainter:
 
     def inpaint(
         self, frames: Sequence[np.ndarray], masks: Sequence[np.ndarray],
-        ratio: float = 1.0,
+        ratio: float = 1.0, dilate_radius: Optional[int] = None,
     ) -> List[np.ndarray]:
         """base_inpainter.py:176-247: subset splitting with temporal context."""
         cfg = self.cfg
         t = len(frames)
         n = cfg.num_subset_frames
         if t <= n:
-            return self.inpaint_efficient(frames, masks, ratio)
+            return self.inpaint_efficient(frames, masks, ratio, dilate_radius)
 
         out: List[np.ndarray] = []
         # remainder folds into the FIRST split ("if OOM, let it happen at
@@ -533,6 +533,7 @@ class Inpainter:
             ids = pre_ids + list(range(a, b)) + post_ids
             sub_frames = [frames[i] for i in ids]
             sub_masks = [masks[i] for i in ids]
-            comp = self.inpaint_efficient(sub_frames, sub_masks, ratio)
+            comp = self.inpaint_efficient(sub_frames, sub_masks, ratio,
+                                          dilate_radius)
             out.extend(comp[len(pre_ids): len(pre_ids) + (b - a)])
         return out

@@ -10,6 +10,11 @@ only the stdlib (flask isn't in the image):
                    "labels": [1,0,...]}          -> {"mask": b64 png, "score"}
   POST /track     {"frames": [b64...], "template_mask": b64 indexed png}
                                  -> {"masks": [b64 indexed png ...]}
+  POST /inpaint   {"frames": [b64...], "masks": [b64 indexed png ...],
+                   "dilate_radius": 15, "ratio": 1.0}
+                                 -> {"frames": [b64 png ...]}
+                  (503 unless the model was built with an E2FGVI
+                  inpainter — TrackingAnything(e2fgvi_checkpoint=...))
 
 Images travel base64; masks come back as palette PNGs."""
 
@@ -82,6 +87,9 @@ class InferenceHandler(BaseHTTPRequestHandler):
             elif self.path == "/track":
                 with self.lock:
                     self._track(req)
+            elif self.path == "/inpaint":
+                with self.lock:
+                    self._inpaint(req)
             else:
                 self._json(404, {"error": "unknown route"})
         except Exception as e:  # surface errors to the client
@@ -95,6 +103,25 @@ class InferenceHandler(BaseHTTPRequestHandler):
         mask, logit, _ = self.model.first_frame_click(image, points, labels)
         self._json(200, {"mask": _encode_mask(mask.astype(np.uint8)),
                          "shape": list(mask.shape)})
+
+    def _inpaint(self, req: dict) -> None:
+        if getattr(self.model, "baseinpainter", None) is None:
+            self._json(503, {"error": "inpainter not loaded — start the "
+                             "model with e2fgvi_checkpoint=..."})
+            return
+        frames = [_decode_image(b) for b in req["frames"]]
+        masks = [_decode_mask(b) for b in req["masks"]]
+        dilate = req.get("dilate_radius")
+        out = self.model.baseinpainter.inpaint(
+            frames, masks,
+            ratio=float(req.get("ratio", 1.0)),
+            dilate_radius=None if dilate is None else int(dilate),
+        )
+        def enc(f):
+            buf = io.BytesIO()
+            Image.fromarray(np.asarray(f, np.uint8)).save(buf, format="PNG")
+            return base64.b64encode(buf.getvalue()).decode()
+        self._json(200, {"frames": [enc(f) for f in out]})
 
     def _track(self, req: dict) -> None:
         frames = [_decode_image(b) for b in req["frames"]]
