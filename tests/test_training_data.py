@@ -109,6 +109,79 @@ class TestClipSampler:
         sampler.set_max_jump(old)
 
 
+class TestInpaintClipSampler:
+    def test_stroke_mask_properties(self):
+        from vosesam_tpu.training.inpaint_data import random_stroke_mask
+
+        rng = np.random.default_rng(2)
+        ratios = []
+        for _ in range(6):
+            m = random_stroke_mask(rng, 120, 216)
+            assert m.shape == (120, 216) and m.dtype == np.uint8
+            assert set(np.unique(m)).issubset({0, 1})
+            ratios.append(m.mean())
+        # free-form strokes: non-degenerate hole ratios
+        assert all(0.003 < r < 0.7 for r in ratios)
+
+    def test_mask_sequence_moving_vs_static(self):
+        from vosesam_tpu.training.inpaint_data import random_mask_sequence
+
+        static = random_mask_sequence(
+            np.random.default_rng(0), 4, 60, 108, moving_prob=0.0)
+        assert all(np.array_equal(static[0], static[i]) for i in range(4))
+        moving = random_mask_sequence(
+            np.random.default_rng(0), 4, 60, 108, moving_prob=1.0)
+        assert any(not np.array_equal(moving[0], moving[i]) for i in range(4))
+        # motion is a drift of one field: per-frame area is conserved
+        assert len({int(m.sum()) for m in moving}) == 1
+
+    def test_sample_contract(self, tree):
+        from vosesam_tpu.training.inpaint_data import InpaintClipSampler
+
+        ds = DavisDataset(tree, imset="2017/train.txt")
+        s = InpaintClipSampler(ds, num_local=3, num_nonlocal=2,
+                               size=(60, 108), seed=3)
+        frames, masks, nl = s.sample()
+        assert nl == 3
+        assert frames.shape == (5, 60, 108, 3) and frames.dtype == np.float32
+        assert -1.0 <= frames.min() and frames.max() <= 1.0
+        assert masks.shape == (5, 60, 108, 1) and masks.dtype == np.float32
+        assert set(np.unique(masks)).issubset({0.0, 1.0})
+
+    def test_too_short_videos_raise(self, tree):
+        from vosesam_tpu.training.inpaint_data import InpaintClipSampler
+
+        ds = DavisDataset(tree, imset="2017/train.txt")
+        with pytest.raises(ValueError, match="frames"):
+            InpaintClipSampler(ds, num_local=99)
+
+    @pytest.mark.slow
+    def test_gan_step_on_sampled_clip(self, tree):
+        import jax
+        import jax.numpy as jnp
+
+        from vosesam_tpu.config import InpainterConfig
+        from vosesam_tpu.models.e2fgvi import discriminator as D
+        from vosesam_tpu.models.e2fgvi import generator as G
+        from vosesam_tpu.training import inpaint_trainer as IT
+        from vosesam_tpu.training.inpaint_data import InpaintClipSampler
+
+        ds = DavisDataset(tree, imset="2017/train.txt")
+        s = InpaintClipSampler(ds, num_local=2, num_nonlocal=1,
+                               size=(48, 48), seed=4)
+        frames, masks, nl = s.sample()
+        icfg = InpainterConfig(num_blocks=1)
+        state = IT.init_train_state(
+            G.generator_init(jax.random.PRNGKey(0), icfg),
+            D.discriminator_init(jax.random.PRNGKey(1)),
+            IT.InpaintTrainConfig())
+        state, metrics = IT.train_step(
+            state, jnp.asarray(frames), jnp.asarray(masks), nl, icfg,
+            IT.InpaintTrainConfig())
+        for k, v in metrics.items():
+            assert np.isfinite(float(v)), k
+
+
 class TestTrainIntegration:
     @pytest.mark.slow
     def test_train_step_on_sampled_batch(self, sampler):
