@@ -30,9 +30,10 @@ def main() -> None:
     ap.add_argument("--config", default="both_neg_C")
     ap.add_argument("--max_videos", type=int, default=None)
     ap.add_argument("--chunk", type=int, default=None,
-                    help="chunked scan + batched-SAM fast path for the "
-                         "sequential runner (bit-equal masks; K=8 is the "
-                         "measured v5e optimum). Ignored with --batch")
+                    help="chunked scan + batched-SAM fast path (bit-equal "
+                         "masks; K=8 is the measured v5e optimum). With "
+                         "--batch, each mesh lane runs the one-jit chunked "
+                         "tracker on its own videos (DP x chunked)")
     ap.add_argument("--batch", action="store_true",
                     help="evaluate videos in lockstep batches sharded "
                          "whole-videos-per-device over the mesh data axis "
@@ -62,7 +63,8 @@ def main() -> None:
     if args.batch:
         from vosesam_tpu.parallel.evaluation import BatchedGenerator
         batched = BatchedGenerator(
-            model.xmem_params, model.sam_params, model.cfg)
+            model.xmem_params, model.sam_params, model.cfg,
+            chunk=args.chunk or 1)
     runname = f"lvos_{args.config}_{uuid.uuid4().hex[:6]}"
     print(f"=== {runname} ===")
     run_model_on_longvos_set(runname, model, dataset,

@@ -84,6 +84,30 @@ class TestBatchedGeneratorEquivalence:
             labels = set(np.unique(got[vi]["masks"][0]).tolist()) - {0}
             assert labels == set(np.unique(tpl).tolist()) - {0}
 
+    def test_chunked_matches_per_frame_batched(self):
+        """DP x chunked (make_batched_chunk_step): chunk=2 over the uneven
+        corpus — incl. a padded tail chunk — must reproduce the per-frame
+        batched path exactly (which itself equals the sequential Tracker,
+        above). Refinement ON so the chunk's batched SAM path is exercised."""
+        ta = fresh_ta(True)
+        corpus = _corpus()
+        videos = [v for v, _ in corpus]
+        tpls = [t for _, t in corpus]
+        ref = BatchedGenerator(ta.xmem_params, ta.sam_params, ta.cfg).run(
+            videos, tpls)
+        got = BatchedGenerator(ta.xmem_params, ta.sam_params, ta.cfg,
+                               chunk=2).run(videos, tpls)
+        for vi, (frames, _) in enumerate(corpus):
+            assert len(got[vi]["masks"]) == len(frames)
+            for t in range(len(frames)):
+                np.testing.assert_array_equal(
+                    got[vi]["masks"][t], ref[vi]["masks"][t],
+                    err_msg=f"video {vi} frame {t}")
+                np.testing.assert_allclose(
+                    got[vi]["scores"][t], ref[vi]["scores"][t],
+                    rtol=1e-5, atol=1e-6,
+                    err_msg=f"video {vi} frame {t} scores")
+
     def test_resolution_mismatch_rejected(self):
         ta = fresh_ta(False)
         gen = BatchedGenerator(ta.xmem_params, ta.sam_params, ta.cfg)

@@ -216,8 +216,11 @@ def run_model_on_longvos_set(
     `batched`: a parallel.evaluation.BatchedGenerator — the dataset is then
     evaluated in lockstep batches sharded whole-videos-per-device over the
     mesh's `data` axis (BASELINE config 5, 'LVOS batched across a slice').
-    `chunk`: sequential path only — route propagation through
-    generator_chunked (see _eval_one_video); ignored when `batched` is set.
+    `chunk`: sequential path — route propagation through generator_chunked
+    (see _eval_one_video). For the batched path, pass `chunk=` to the
+    BatchedGenerator constructor instead (DP x chunked — each mesh lane
+    runs the one-jit chunked tracker); this function's `chunk` arg is then
+    unused.
     Videos are grouped by resolution (one batched run per distinct (H, W));
     uneven lengths inside a group are handled by the generator. Output mask
     PNGs are identical in layout (and, given the same params/config, in

@@ -153,6 +153,37 @@ def make_batched_prop_step(cfg: FrameworkConfig, mesh: Mesh,
     return jax.jit(step)
 
 
+def make_batched_chunk_step(cfg: FrameworkConfig, mesh: Mesh):
+    """Chunked propagation for a lockstep video batch: each device runs the
+    ONE-JIT chunked tracker (inference/chunked.py track_chunk_fused — XMem
+    lax.scan + one batched SAM encode/refine over the K frames) on its own
+    videos. This composes the two throughput axes: videos data-parallel
+    over the mesh AND the chunked fast path within each lane — the
+    production eval config for a slice (on a real pod the per-frame batched
+    step would leave every device dispatch-bound between frames).
+
+    step(xmem_params, sam_params, states, frames (B, K, H, W, 3))
+      -> (states, indexed (B, K, H, W), scores (B, K, O))"""
+    from vosesam_tpu.inference.chunked import track_chunk_fused
+
+    da = cfg.parallel.data_axis
+
+    def device_body(xmem_params, sam_params, states, frames):
+        def one(args):
+            st, fr = args
+            return track_chunk_fused(xmem_params, sam_params, st, fr, cfg)
+
+        return jax.lax.map(one, (states, frames))
+
+    step = shard_map(
+        device_body, mesh=mesh,
+        in_specs=(P(), P(), P(da), P(da)),
+        out_specs=(P(da), P(da), P(da)),
+        check_vma=False,
+    )
+    return jax.jit(step)
+
+
 class BatchedGenerator:
     """Dataset-level lockstep multi-video generator over the `data` mesh axis.
 
@@ -180,7 +211,12 @@ class BatchedGenerator:
     (eval/runner.py does)."""
 
     def __init__(self, xmem_params, sam_params, cfg: FrameworkConfig,
-                 mesh: Optional[Mesh] = None) -> None:
+                 mesh: Optional[Mesh] = None, chunk: int = 1) -> None:
+        """`chunk > 1` routes propagation through the one-jit chunked
+        tracker per lane (make_batched_chunk_step) — identical masks to the
+        per-frame path (tests/test_batched_runner.py); the final short
+        chunk is padded by repeating each video's current frame and the
+        padded results are dropped."""
         from vosesam_tpu.parallel import mesh as meshlib
 
         self.xmem_params = xmem_params
@@ -188,8 +224,12 @@ class BatchedGenerator:
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else meshlib.make_mesh(cfg.parallel)
         self._meshlib = meshlib
+        self.chunk = max(1, int(chunk))
         self.first_step = make_batched_first_step(cfg, self.mesh)
-        self.prop_step = make_batched_prop_step(cfg, self.mesh)
+        self.prop_step = (make_batched_prop_step(cfg, self.mesh)
+                          if self.chunk == 1 else None)
+        self.chunk_step = (make_batched_chunk_step(cfg, self.mesh)
+                           if self.chunk > 1 else None)
 
     def run(self, videos, templates):
         """videos: list of per-video frame lists ((H, W, 3) uint8, equal
@@ -242,23 +282,48 @@ class BatchedGenerator:
                 jnp.asarray(batch), self.mesh, self.cfg.parallel)
 
         per_t_indexed, per_t_scores = [], []
-        pending = None  # double-buffer: sync t-1 while t executes
+        pending = None  # double-buffer: sync the previous step's results
+        # while the next step executes
 
         def drain(p):
-            per_t_indexed.append(np.asarray(p[0]))
-            per_t_scores.append(np.asarray(p[1]))
+            idx, sc, keep = p
+            idx, sc = np.asarray(idx), np.asarray(sc)
+            if idx.ndim == 3:           # per-frame step: (B, H, W)
+                per_t_indexed.append(idx)
+                per_t_scores.append(sc)
+            else:                       # chunk step: (B, K, H, W), keep K'
+                for k in range(keep):
+                    per_t_indexed.append(idx[:, k])
+                    per_t_scores.append(sc[:, k])
 
-        for t in range(t_max):
-            if t == 0:
-                states, indexed, scores = self.first_step(
-                    self.xmem_params, states, frames_at(0),
-                    jnp.asarray(masks0), jnp.asarray(valid0))
-            else:
+        states, indexed, scores = self.first_step(
+            self.xmem_params, states, frames_at(0),
+            jnp.asarray(masks0), jnp.asarray(valid0))
+        pending = (indexed, scores, 1)
+
+        if self.chunk == 1:
+            for t in range(1, t_max):
                 states, indexed, scores = self.prop_step(
                     self.xmem_params, self.sam_params, states, frames_at(t))
-            if pending is not None:
                 drain(pending)
-            pending = (indexed, scores)
+                pending = (indexed, scores, 1)
+        else:
+            k = self.chunk
+            for t0 in range(1, t_max, k):
+                keep = min(k, t_max - t0)
+                # pad the tail chunk by repeating each lane's current frame
+                # (clamped indexing below already repeats last frames for
+                # finished videos; padded results are dropped via `keep`)
+                batch = np.stack([
+                    np.stack([videos[vi][min(t0 + kk, lens[lane] - 1)]
+                              for kk in range(k)])
+                    for lane, vi in enumerate(pad_idx)])
+                fb = self._meshlib.shard_batch(
+                    jnp.asarray(batch), self.mesh, self.cfg.parallel)
+                states, indexed, scores = self.chunk_step(
+                    self.xmem_params, self.sam_params, states, fb)
+                drain(pending)
+                pending = (indexed, scores, keep)
         drain(pending)
 
         out = []
