@@ -417,7 +417,8 @@ def main() -> None:
             if args.batch:
                 from vosesam_tpu.parallel.evaluation import BatchedGenerator
                 batched = BatchedGenerator(
-                    model.xmem_params, model.sam_params, model.cfg)
+                    model.xmem_params, model.sam_params, model.cfg,
+                    chunk=args.chunk or 1)
             df = run_model_on_longvos_set("parity5_lvos", model, ds,
                                           max_videos=args.max_videos,
                                           batched=batched, chunk=args.chunk)
