@@ -87,10 +87,18 @@ def main() -> None:
 
     # max-skip curriculum at the standard step fractions
     schedule = [(0.1, 10), (0.3, 15), (0.8, 5)]
+    start_it = int(state.it)
+    # On resume, apply the latest boundary already passed so a checkpoint
+    # restored past a schedule step doesn't silently train at the initial
+    # jump of 5.
+    for frac, jump in schedule:
+        if start_it >= int(args.steps * frac):
+            sampler.set_max_jump(jump)
+            print(f"[resume {start_it}] max_jump -> {jump}", flush=True)
     t0 = time.time()
-    for it in range(int(state.it), args.steps):
+    for it in range(start_it, args.steps):
         for frac, jump in schedule:
-            if it == int(args.steps * frac):
+            if it == int(args.steps * frac) and it != start_it:
                 sampler.set_max_jump(jump)
                 print(f"[{it}] max_jump -> {jump}", flush=True)
         frames, gt, valid = sampler.sample_batch(args.batch)

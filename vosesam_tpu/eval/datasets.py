@@ -86,6 +86,12 @@ class DavisDataset:
             return load_frames(paths)
         return [load_image(p) for p in paths]
 
+    def has_mask(self, video: str, frame_file: str) -> bool:
+        """Cheap annotation-existence probe (no PNG decode)."""
+        return os.path.exists(os.path.join(
+            self.mask_dir, video, frame_file.replace(".jpg", ".png")
+        ))
+
     def load_mask(self, video: str, frame_file: str) -> Optional[np.ndarray]:
         path = os.path.join(
             self.mask_dir, video, frame_file.replace(".jpg", ".png")
@@ -147,6 +153,12 @@ class LongVideoDataset:
 
             return load_frames(paths)
         return [load_image(p) for p in paths]
+
+    def has_mask(self, video: str, frame_file: str) -> bool:
+        """Cheap annotation-existence probe (no PNG decode)."""
+        return os.path.exists(os.path.join(
+            self.mask_dir, video, os.path.splitext(frame_file)[0] + ".png"
+        ))
 
     def load_mask(self, video: str, frame_file: str) -> Optional[np.ndarray]:
         path = os.path.join(

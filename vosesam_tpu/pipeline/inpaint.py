@@ -386,18 +386,9 @@ class Inpainter:
 
         masks_np = np.stack([np.asarray(m, np.float32) > 0 for m in masks])
         if radius > 0:
-            masks_np = np.asarray(
-                jax.jit(jax.vmap(lambda m: morph.dilate(m, 1)))(
-                    jnp.asarray(masks_np)
-                )
-            )
-            # the reference uses a (2r+1) kernel once; iterate cheaply
-            for _ in range(radius - 1):
-                masks_np = np.asarray(
-                    jax.jit(jax.vmap(lambda m: morph.dilate(m, 1)))(
-                        jnp.asarray(masks_np)
-                    )
-                )
+            # the reference uses a (2r+1) kernel once; n rounds of 3x3 are
+            # equivalent — one jitted call, no per-iteration retrace.
+            masks_np = np.asarray(_dilate_n(jnp.asarray(masks_np), radius))
         masks_np = masks_np.astype(np.float32)
 
         if ratio != 1.0:

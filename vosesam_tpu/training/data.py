@@ -69,9 +69,13 @@ class ClipSampler:
         self.o = max_objects
         self.rng = np.random.default_rng(seed)
         self._annotated: List[Tuple[str, List[str]]] = []
+        # Probe annotation existence by path (has_mask) instead of decoding
+        # every PNG; fall back to load_mask for dataset-likes without it.
+        probe = getattr(dataset, "has_mask", None) or (
+            lambda v, f: dataset.load_mask(v, f) is not None)
         for v in dataset.videos:
             frames = [f for f in dataset.video_info(v)["frames"]
-                      if dataset.load_mask(v, f) is not None]
+                      if probe(v, f)]
             if len(frames) >= 2:
                 self._annotated.append((v, frames))
         if not self._annotated:

@@ -105,7 +105,7 @@ class InpaintClipSampler:
                num_local) with T = num_local + num_nonlocal."""
         v, files = self._videos[int(self.rng.integers(0, len(self._videos)))]
         n = len(files)
-        start = int(self.rng.integers(0, max(1, n - self.nl) + 1))
+        start = int(self.rng.integers(0, max(0, n - self.nl) + 1))
         local = list(range(start, min(start + self.nl, n)))
         while len(local) < self.nl:
             local.append(local[-1])
