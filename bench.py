@@ -103,6 +103,244 @@ def moving_frames(n: int, h: int, w: int, seed: int = 0) -> np.ndarray:
     return out
 
 
+def soak_frames(n: int, h: int, w: int, seed: int = 0) -> np.ndarray:
+    """n synthetic frames with two objects on PERIODIC (triangle-wave)
+    trajectories that stay fully in-frame for arbitrarily long rollouts —
+    `moving_frames`' linear motion walks object 0 off the bottom edge past
+    ~190 frames, which would degenerate a 1.5k-frame soak."""
+    r = np.random.default_rng(seed)
+    base = r.integers(0, 255, (h, w, 3), np.uint8)
+
+    def tri(t: int, amp: int) -> int:
+        m = t % (2 * amp)
+        return amp - abs(amp - m)
+
+    out = np.empty((n, h, w, 3), np.uint8)
+    for i in range(n):
+        f = base.copy()
+        y0 = 40 + tri(2 * i, 180)
+        x0 = 10 + tri(5 * i, 470)
+        f[y0:y0 + 220, x0:x0 + 350] = (220, 60, 60)
+        y1 = 30 + tri(3 * i, 340)
+        x1 = 560 + tri(2 * i, 140)
+        f[y1:y1 + 100, x1:x1 + 150] = (60, 200, 220)
+        out[i] = f
+    return out
+
+
+def _soak(cfg, h: int, w: int, chunk: int, n_frames: int) -> dict:
+    """Long-video soak at the PRODUCTION memory config (VERDICT r4 task 1).
+
+    Runs one continuous `n_frames`-frame rollout through the chunked driver
+    at the default memory config (max_long_term_elements=1000,
+    num_prototypes=128, top_k=30, mem_every=5 — tracker/config/config.yaml:
+    4-9) and measures the fps DECAY CURVE in windows at frames ~64, ~512 and
+    ~1500 (LongDataset/LVOS sequences are 1-3k frames,
+    /root/reference/dataset/longdataset.py:8).
+
+    LT eviction accounting: the memory-add schedule is deterministic
+    (ti % mem_every == 0, inference/core.py:164-167), so the consolidation
+    count is analytic — consols = 1 + (adds - max_mid)/min_mid once the work
+    arena first fills (memory/manager.py:205-210) — and is CROSS-CHECKED
+    against the probed `work.count` (mismatch raises). Eviction-overwrite
+    cycles (consolidations that overwrite live LT slots,
+    manager.py:276-287) = consols - floor(lt_capacity / num_prototypes);
+    the probes additionally assert LT saturates to capacity AND that the LT
+    key contents keep CHANGING between post-saturation probes (overwrite
+    demonstrably firing — it had never executed at production shapes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vosesam_tpu.inference import core, tracker
+    from vosesam_tpu.inference.chunked import track_chunk
+    from vosesam_tpu.models.sam import predictor
+    from vosesam_tpu.models.xmem import network as xnet
+
+    t_start = time.time()
+    n_frames = -(-n_frames // chunk) * chunk
+    frames_np = soak_frames(1 + n_frames, h, w)
+
+    xmem_params = xnet.xmem_init(jax.random.PRNGKey(0), cfg.xmem,
+                                 dtype=jnp.bfloat16)
+    sam_params = (
+        predictor.sam_init(jax.random.PRNGKey(1), cfg.sam, dtype=jnp.bfloat16)
+        if cfg.refinement.use_refinement else None)
+
+    state = core.init_tracker_state(cfg, (h, w))
+    mask = (jnp.zeros((cfg.xmem.max_objects, h, w))
+            .at[0, 40:260, 10:360].set(1.0)
+            .at[1, 30:130, 560:710].set(1.0))
+    valid = jnp.arange(cfg.xmem.max_objects) < 2
+    state, *_ = tracker.track_first_frame(
+        xmem_params, state, jnp.asarray(frames_np[0]), mask, valid, cfg,
+        paint=False)
+
+    # ---- analytic memory schedule (cross-checked below) -----------------
+    hw_tok = (-(-h // 16)) * (-(-w // 16))
+    cw = cfg.memory.work_capacity(hw_tok)
+    mw = cfg.memory.min_work_elements(hw_tok)
+    lt_cap = cfg.memory.max_long_term_elements
+    p = min(cfg.memory.num_prototypes, cw - mw)
+    adds = n_frames // cfg.memory.mem_every + 1          # ti = 0,5,10,...
+    max_adds = cw // hw_tok                              # first fill
+    consols = 0 if adds < max_adds else 1 + (adds - max_adds) * hw_tok // (cw - mw)
+    evictions = max(0, consols - lt_cap // p)
+
+    lt_valid_j = jax.jit(lambda m: m.long.key_valid.sum())
+    lt_sum_j = jax.jit(lambda m: jnp.sum(jnp.abs(m.long.keys.astype(jnp.float32))))
+    area_j = jax.jit(lambda ix: jnp.mean((ix > 0).astype(jnp.float32)))
+
+    def probe(state, idx=None):
+        d = {
+            "ti": int(np.asarray(state.curr_ti)),
+            "work_count": int(np.asarray(state.memory.work.count)),
+            "lt_valid": int(np.asarray(lt_valid_j(state.memory))),
+            "lt_keys_absum": float(np.asarray(lt_sum_j(state.memory))),
+        }
+        if idx is not None:
+            d["mask_area"] = round(float(np.asarray(area_j(idx))), 4)
+        return d
+
+    fin_update = jax.jit(lambda acc, s: acc + jnp.sum(
+        jnp.where(jnp.isneginf(s), 0.0, s).astype(jnp.float32)))
+    fin_acc = jnp.zeros((), jnp.float32)
+
+    # fps windows (chunk-aligned): ~64 / ~512 / tail. Each window is the
+    # MEDIAN of `reps` consecutive 64-frame measures on the continuing
+    # rollout — a single-shot window is hostage to the tunnel's transient
+    # stalls (a one-off 28->5 fps stall is on record, BASELINE.md; the
+    # first soak attempt measured a "14.7 fps tail decay" that the
+    # back-to-back stage replay, scripts/exp_soak_decay.py, proved was a
+    # stall artifact: every stage is flat early-vs-late).
+    reps, rep_c = 3, 64 // chunk
+    n_chunks = n_frames // chunk
+    win_defs = []
+    for label, start_f in (
+        ("frame_64", 56), ("frame_512", 448),
+        ("frame_tail", n_frames - reps * 64),
+    ):
+        s_c, l_c = start_f // chunk, reps * rep_c
+        if 0 <= s_c and s_c + l_c <= n_chunks and all(
+                s_c + l_c <= ws or ws + wl <= s_c for ws, wl, _ in win_defs):
+            win_defs.append((s_c, l_c, label))
+    win_start = {s: (l, label) for s, l, label in win_defs}
+
+    fps_windows = {}
+    fps_window_runs = {}
+    probes = []
+    idx = None
+    j = 0
+    while j < n_chunks:
+        if j in win_start:
+            l_c, label = win_start[j]
+            # pre-stage the window's frames on device as per-frame tuples
+            # (production pipelines transfers; the timed loop measures
+            # compute + dispatch, same discipline as the headline row)
+            staged = [
+                tuple(jnp.asarray(frames_np[1 + (j + m) * chunk + t])
+                      for t in range(chunk))
+                for m in range(l_c)
+            ]
+            # drain the untimed backlog before starting the clock
+            np.asarray(state.memory.work.count)
+            runs = []
+            for r in range(reps):
+                t0 = time.perf_counter()
+                for fb in staged[r * rep_c:(r + 1) * rep_c]:
+                    state, idx, scores = track_chunk(
+                        xmem_params, sam_params, state, fb, cfg)
+                    fin_acc = fin_update(fin_acc, scores)
+                np.asarray(idx.ravel()[0:1])
+                runs.append(rep_c * chunk / (time.perf_counter() - t0))
+            fps_windows[label] = round(float(np.median(runs)), 3)
+            fps_window_runs[label] = [round(r, 3) for r in runs]
+            j += l_c
+            probes.append({"window": label, **probe(state, idx)})
+        else:
+            fb = tuple(jnp.asarray(frames_np[1 + j * chunk + t])
+                       for t in range(chunk))
+            state, idx, scores = track_chunk(
+                xmem_params, sam_params, state, fb, cfg)
+            fin_acc = fin_update(fin_acc, scores)
+            j += 1
+            if j % 16 == 0:
+                probes.append(probe(state))   # syncs: bounds dispatch queue
+
+    assert np.isfinite(np.asarray(fin_acc)), "non-finite scores mid-soak"
+    final = probe(state, idx)
+    probes.append(final)
+
+    # ---- cross-check the analytic schedule against the probed arena -----
+    expect_count = adds * hw_tok - consols * (cw - mw)
+    if final["work_count"] != expect_count:
+        raise AssertionError(
+            f"soak arena accounting broke: work.count {final['work_count']} "
+            f"!= analytic {expect_count} (adds={adds}, consols={consols})")
+    if consols >= lt_cap // p + 1 and final["lt_valid"] != lt_cap:
+        raise AssertionError(
+            f"LT never saturated: {final['lt_valid']} != {lt_cap}")
+    # overwrite must demonstrably fire: LT key contents keep changing
+    # between distinct-time post-saturation probes
+    sat = [pr for pr in probes if pr["lt_valid"] == lt_cap]
+    overwrites_seen = sum(
+        1 for a, b in zip(sat, sat[1:])
+        if a["ti"] != b["ti"] and a["lt_keys_absum"] != b["lt_keys_absum"])
+    if evictions > 0 and overwrites_seen == 0:
+        raise AssertionError("LT eviction-overwrite never observed despite "
+                             f"{evictions} analytic eviction cycles")
+
+    # ---- fresh-state control (drift vs state-dependence) ----------------
+    # Replay the frame_64 window from a FRESH tracker state at the END of
+    # the run (same frames, same jits). If this matches the original
+    # frame_64 fps, any tail decay is state/data-dependent (memory
+    # occupancy, mask structure), not tunnel-rate drift over the run.
+    fps_fresh = None
+    if "frame_64" in fps_windows:
+        st2 = core.init_tracker_state(cfg, (h, w))
+        st2, *_ = tracker.track_first_frame(
+            xmem_params, st2, jnp.asarray(frames_np[0]), mask, valid, cfg,
+            paint=False)
+        for m in range(7):
+            fb = tuple(jnp.asarray(frames_np[1 + m * chunk + t])
+                       for t in range(chunk))
+            st2, idx2, _ = track_chunk(xmem_params, sam_params, st2, fb, cfg)
+        staged = [
+            tuple(jnp.asarray(frames_np[1 + (7 + m) * chunk + t])
+                  for t in range(chunk))
+            for m in range(8)
+        ]
+        np.asarray(st2.memory.work.count)
+        runs = []
+        for _ in range(3):     # median-of-3, same stall robustness
+            t0 = time.perf_counter()
+            for fb in staged:
+                st2, idx2, _ = track_chunk(
+                    xmem_params, sam_params, st2, fb, cfg)
+            np.asarray(idx2.ravel()[0:1])
+            runs.append(64 / (time.perf_counter() - t0))
+        fps_fresh = round(float(np.median(runs)), 3)
+
+    out = {
+        "frames": n_frames,
+        "fps_windows": fps_windows,
+        "fps_window_runs": fps_window_runs,
+        "fps_fresh_control": fps_fresh,
+        "lt_valid_final": final["lt_valid"],
+        "consolidations": consols,
+        "lt_eviction_cycles": evictions,
+        "lt_overwrites_observed": overwrites_seen,
+        "mask_area_final": final.get("mask_area"),
+        "wall_s": round(time.time() - t_start, 1),
+    }
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        if stats and "peak_bytes_in_use" in stats:
+            out["peak_device_bytes"] = int(stats["peak_bytes_in_use"])
+    except Exception:
+        pass
+    return out
+
+
 def main() -> None:
     import jax
 
@@ -209,6 +447,14 @@ def main() -> None:
         extras["read_ms_at_occupancy"] = _read_occupancy_corridor()
         if os.environ.get("BENCH_INPAINT", "1") == "1":
             extras.update(_inpaint_bench())
+    if (os.environ.get("BENCH_SOAK", "1") == "1" and refine and chunk > 1
+            and cfg.sam.encode_fixed_hw is None
+            and cfg.sam.encode_letterbox_hw is None):
+        # Long-video soak at the production operating point (VERDICT r4
+        # task 1): 1.5k frames, LT eviction firing, fps decay curve.
+        # BENCH_SOAK=0 skips (A/B ladders); BENCH_SOAK_FRAMES overrides.
+        extras["soak"] = _soak(
+            cfg, h, w, chunk, int(os.environ.get("BENCH_SOAK_FRAMES", "1536")))
     _emit(cfg, fps, n_frames, refine, extras)
 
 
