@@ -103,6 +103,48 @@ def moving_frames(n: int, h: int, w: int, seed: int = 0) -> np.ndarray:
     return out
 
 
+_OBJ_COLORS = (
+    (220, 60, 60), (60, 200, 220), (60, 220, 90), (230, 200, 50),
+    (200, 60, 220), (240, 140, 40), (80, 90, 230), (160, 230, 160),
+)
+
+
+def multi_object_frames(n: int, h: int, w: int, o: int,
+                        seed: int = 0) -> np.ndarray:
+    """n frames with `o` 120x160 rectangles on distinct periodic
+    trajectories (grid-anchored, per-object velocities) — the uniform
+    object family for the O-scaling row (VERDICT r4 task 2; DAVIS-17/LVOS
+    run up to ~8 objects, /root/reference/dataset/dataset.py:36-41)."""
+    assert 1 <= o <= 8
+    r = np.random.default_rng(seed)
+    base = r.integers(0, 255, (h, w, 3), np.uint8)
+
+    def tri(t: int, amp: int) -> int:
+        m = t % (2 * amp)
+        return amp - abs(amp - m)
+
+    anchors = [(30 + (k // 4) * 240, 20 + (k % 4) * 210) for k in range(o)]
+    out = np.empty((n, h, w, 3), np.uint8)
+    for i in range(n):
+        f = base.copy()
+        for k, (yb, xb) in enumerate(anchors):
+            y0 = yb + tri((2 + k % 3) * i, 60)
+            x0 = xb + tri((3 + k % 2) * i, 40)
+            f[y0:y0 + 120, x0:x0 + 160] = _OBJ_COLORS[k]
+        out[i] = f
+    return out
+
+
+def multi_object_seed_mask(h: int, w: int, o: int,
+                           max_objects: int) -> np.ndarray:
+    """Frame-0 per-object masks matching multi_object_frames(i=0)."""
+    m = np.zeros((max_objects, h, w), np.float32)
+    for k in range(o):
+        yb, xb = 30 + (k // 4) * 240, 20 + (k % 4) * 210
+        m[k, yb:yb + 120, xb:xb + 160] = 1.0
+    return m
+
+
 def soak_frames(n: int, h: int, w: int, seed: int = 0) -> np.ndarray:
     """n synthetic frames with two objects on PERIODIC (triangle-wave)
     trajectories that stay fully in-frame for arbitrarily long rollouts —
@@ -125,6 +167,37 @@ def soak_frames(n: int, h: int, w: int, seed: int = 0) -> np.ndarray:
         x1 = 560 + tri(2 * i, 140)
         f[y1:y1 + 100, x1:x1 + 150] = (60, 200, 220)
         out[i] = f
+    return out
+
+
+def _fps_by_objects(base_cfg, h: int, w: int, chunk: int,
+                    n_frames: int = 64, reps: int = 3) -> dict:
+    """fps at O in {1, 2, 4, 8} moving objects (VERDICT r4 task 2).
+
+    Each O runs the SAME measured loop as the headline (`_measure`,
+    median-of-reps, 64-frame long-form steady state) on the uniform
+    `multi_object_frames` family, with the object axis and live_objects
+    hint sized to O — exactly what Tracker's per-video sizing derives.
+    The headline 2-object row stays the anchor; this row records the
+    marginal per-object cost (refinement vmaps over the object axis,
+    memory values are per-object — cost is expected ~linear in O)."""
+    import dataclasses
+
+    from vosesam_tpu.config import MemoryConfig, XMemConfig
+
+    out = {}
+    for o in (1, 2, 4, 8):
+        cfg = dataclasses.replace(
+            base_cfg,
+            xmem=dataclasses.replace(base_cfg.xmem, max_objects=o),
+            memory=dataclasses.replace(base_cfg.memory, live_objects=o),
+        )
+        all_np = multi_object_frames(1 + max(chunk, 1) + n_frames, h, w, o)
+        seed = (multi_object_seed_mask(h, w, o, o), o)
+        fps_runs, _, _ = _measure(
+            cfg, all_np, h, w, chunk, n_frames, refine=True, stages=False,
+            reps=reps, seed_objects=seed)
+        out[str(o)] = round(float(np.median(fps_runs)), 3)
     return out
 
 
@@ -447,6 +520,10 @@ def main() -> None:
         extras["read_ms_at_occupancy"] = _read_occupancy_corridor()
         if os.environ.get("BENCH_INPAINT", "1") == "1":
             extras.update(_inpaint_bench())
+        if os.environ.get("BENCH_OBJECTS", "1") == "1":
+            # Object-count scaling row (VERDICT r4 task 2). BENCH_OBJECTS=0
+            # skips (A/B ladders).
+            extras["fps_by_objects"] = _fps_by_objects(cfg, h, w, chunk)
     if (os.environ.get("BENCH_SOAK", "1") == "1" and refine and chunk > 1
             and cfg.sam.encode_fixed_hw is None
             and cfg.sam.encode_letterbox_hw is None):
@@ -458,11 +535,15 @@ def main() -> None:
     _emit(cfg, fps, n_frames, refine, extras)
 
 
-def _measure(cfg, all_np, h, w, chunk, n_frames, refine, stages, reps=1):
+def _measure(cfg, all_np, h, w, chunk, n_frames, refine, stages, reps=1,
+             seed_objects=None):
     """Run the measured tracking loop `reps` times for one config; returns
     (fps_list, lt_count, stage_info). Repeats continue the SAME rollout
     (memory state keeps evolving in long-form steady state), so each rep is
-    an honest i.i.d.-ish sample of the steady-state rate."""
+    an honest i.i.d.-ish sample of the steady-state rate.
+
+    `seed_objects`: optional ((O, H, W) frame-0 mask, n_live) overriding the
+    default 2-object seed (the O-scaling row passes the uniform family)."""
     import jax
     import jax.numpy as jnp
 
@@ -479,9 +560,14 @@ def _measure(cfg, all_np, h, w, chunk, n_frames, refine, stages, reps=1):
     warm_n = max(chunk, 1)
 
     state = core.init_tracker_state(cfg, (h, w))
-    mask = jnp.zeros((cfg.xmem.max_objects, h, w)).at[0, 100:320, 150:500].set(1.0)
-    mask = mask.at[1, 50:150, 600:750].set(1.0)
-    valid = jnp.arange(cfg.xmem.max_objects) < 2
+    if seed_objects is None:
+        mask = jnp.zeros((cfg.xmem.max_objects, h, w)).at[0, 100:320, 150:500].set(1.0)
+        mask = mask.at[1, 50:150, 600:750].set(1.0)
+        valid = jnp.arange(cfg.xmem.max_objects) < 2
+    else:
+        m_np, n_live = seed_objects
+        mask = jnp.asarray(m_np)
+        valid = jnp.arange(cfg.xmem.max_objects) < n_live
     state, *_ = tracker.track_first_frame(
         xmem_params, state, jnp.asarray(all_np[0]), mask, valid, cfg,
         paint=False,
