@@ -201,6 +201,80 @@ def _fps_by_objects(base_cfg, h: int, w: int, chunk: int,
     return out
 
 
+def _interactive_bench(cfg, h: int = 480, w: int = 854) -> dict:
+    """Steady-state K=1 interactive latency (VERDICT r4 task 3).
+
+    The product's interactive regime (/root/reference/app.py:162-192): the
+    user clicks the cached template frame and sees a painted mask
+    (SamControler.first_frame_click), then tracks frame by frame. Measures
+    p50/p95 over 30 iterations of
+      - click-to-mask: one positive click with the template embedding
+        CACHED (set_image done once) — includes the mask/painted-frame
+        downloads the UI consumes (host round-trips are part of the
+        product latency on this tunnel, not overhead to exclude);
+      - single-frame track: per-frame tracker.track_frame (refinement on)
+        with the indexed mask pulled to host each frame (what
+        Tracker.track yields to the app loop).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from vosesam_tpu.inference import core, tracker
+    from vosesam_tpu.models.sam import predictor
+    from vosesam_tpu.models.xmem import network as xnet
+    from vosesam_tpu.pipeline.interact import SamController
+
+    frames = moving_frames(34, h, w)
+    sam_params = predictor.sam_init(jax.random.PRNGKey(1), cfg.sam,
+                                    dtype=jnp.bfloat16)
+    xmem_params = xnet.xmem_init(jax.random.PRNGKey(0), cfg.xmem,
+                                 dtype=jnp.bfloat16)
+
+    sc = SamController(sam_params, cfg.sam)
+    sc.set_image(frames[0])
+    pts = np.array([[300.0, 200.0]], np.float32)
+    lbl = np.array([1], np.int32)
+    sc.first_frame_click(frames[0], pts, lbl)          # compile warm-up
+    click_ms = []
+    for i in range(30):
+        p = np.array([[150.0 + 5 * i, 150.0 + 3 * i]], np.float32)
+        t0 = time.perf_counter()
+        sc.first_frame_click(frames[0], p, lbl)
+        click_ms.append((time.perf_counter() - t0) * 1e3)
+
+    state = core.init_tracker_state(cfg, (h, w))
+    mask = (jnp.zeros((cfg.xmem.max_objects, h, w))
+            .at[0, 100:320, 150:500].set(1.0)
+            .at[1, 50:150, 600:750].set(1.0))
+    valid = jnp.arange(cfg.xmem.max_objects) < 2
+    state, *_ = tracker.track_first_frame(
+        xmem_params, state, jnp.asarray(frames[0]), mask, valid, cfg,
+        paint=False)
+    frames_dev = [jnp.asarray(frames[1 + i]) for i in range(33)]
+    # warm-up: 3 frames (compile + steady dispatch)
+    for f in frames_dev[:3]:
+        state, indexed, *_ = tracker.track_frame(
+            xmem_params, sam_params, state, f, cfg, paint=False)
+    np.asarray(indexed)
+    track_ms = []
+    for f in frames_dev[3:33]:
+        t0 = time.perf_counter()
+        state, indexed, *_ = tracker.track_frame(
+            xmem_params, sam_params, state, f, cfg, paint=False)
+        np.asarray(indexed)        # the per-frame host mask the app consumes
+        track_ms.append((time.perf_counter() - t0) * 1e3)
+
+    def pct(xs, q):
+        return round(float(np.percentile(xs, q)), 1)
+
+    return {
+        "click_to_mask_ms_p50": pct(click_ms, 50),
+        "click_to_mask_ms_p95": pct(click_ms, 95),
+        "track_frame_ms_p50": pct(track_ms, 50),
+        "track_frame_ms_p95": pct(track_ms, 95),
+    }
+
+
 def _soak(cfg, h: int, w: int, chunk: int, n_frames: int) -> dict:
     """Long-video soak at the PRODUCTION memory config (VERDICT r4 task 1).
 
@@ -524,6 +598,9 @@ def main() -> None:
             # Object-count scaling row (VERDICT r4 task 2). BENCH_OBJECTS=0
             # skips (A/B ladders).
             extras["fps_by_objects"] = _fps_by_objects(cfg, h, w, chunk)
+        if os.environ.get("BENCH_INTERACTIVE", "1") == "1":
+            # K=1 interactive latency (VERDICT r4 task 3).
+            extras["interactive_ms"] = _interactive_bench(cfg)
     if (os.environ.get("BENCH_SOAK", "1") == "1" and refine and chunk > 1
             and cfg.sam.encode_fixed_hw is None
             and cfg.sam.encode_letterbox_hw is None):

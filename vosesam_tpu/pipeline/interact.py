@@ -4,10 +4,20 @@ Reference: tools/interact_tools.py SamControler.first_frame_click (:49-89) —
 one point-prompt pass (multimask, argmax score); when the click history holds
 a negative click and the latest click is positive, a second pass feeds the
 first pass's best mask logit back as a mask prompt ('both' mode, :57-71);
-the chosen mask and the click points are painted for the UI."""
+the chosen mask and the click points are painted for the UI.
+
+TPU latency notes: every device call here is JITTED with STATIC shapes —
+the click history is padded to cfg.max_points (label -1 = pad, the same
+convention the refinement loop uses), so every click count from 1 to
+max_points shares ONE compiled program, and the decode+select and the
+3-layer paint each run as a single dispatch. The eager version of this path
+measured 690 ms p50 per click on the tunneled chip (predict alone 443 ms of
+per-op dispatch overhead); see BASELINE.md interactive-latency section.
+"""
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -17,6 +27,24 @@ import numpy as np
 from vosesam_tpu.config import SAMConfig
 from vosesam_tpu.models.sam import predictor
 from vosesam_tpu.viz.painter import mask_painter, point_painter
+
+_encode = jax.jit(predictor.encode_image, static_argnames=("cfg",))
+
+
+@partial(jax.jit, static_argnames=("cfg", "multimask"))
+def _click_predict(params, emb, coords, labels, mask_input, cfg, multimask):
+    """predict + reference-predictor mask selection, one dispatch."""
+    pred = predictor.predict(params, emb, coords, labels, mask_input, cfg)
+    return predictor.select_best(pred, cfg, multimask)
+
+
+@jax.jit
+def _paint(image, mask, coords, pos, neg):
+    painted = mask_painter(image, mask, jnp.asarray([255, 99, 71], jnp.uint8))
+    painted = point_painter(painted, coords, pos,
+                            jnp.asarray([0, 255, 0], jnp.uint8))
+    return point_painter(painted, coords, neg,
+                         jnp.asarray([255, 0, 0], jnp.uint8))
 
 
 class SamController:
@@ -29,7 +57,7 @@ class SamController:
 
     def set_image(self, image: np.ndarray) -> None:
         """BaseSegmenter.set_image (:31-40): encode once, cache by value."""
-        self.emb = predictor.encode_image(self.params, jnp.asarray(image), self.cfg)
+        self.emb = _encode(self.params, jnp.asarray(image), self.cfg)
 
     def reset_image(self) -> None:
         self.emb = None
@@ -44,23 +72,26 @@ class SamController:
         """Returns (mask (H, W) bool, logit (256, 256), painted image)."""
         if self.emb is None:
             self.set_image(image)
-        coords = jnp.asarray(points, jnp.float32)
-        lbls = jnp.asarray(labels, jnp.int32)
+        labels_np = np.asarray(labels)
+        # Static prompt pack: latest max_points clicks, -1-padded.
+        cap = self.cfg.max_points
+        n = min(len(labels_np), cap)
+        pts = np.zeros((cap, 2), np.float32)
+        lbl = np.full((cap,), -1, np.int32)
+        pts[:n] = np.asarray(points, np.float32)[-n:]
+        lbl[:n] = labels_np[-n:]
+        coords = jnp.asarray(pts)
+        lbls = jnp.asarray(lbl)
 
-        pred = predictor.predict(self.params, self.emb, coords, lbls, None, self.cfg)
-        mask, _, score, low_res = predictor.select_best(pred, self.cfg, multimask)
+        mask, _, score, low_res = _click_predict(
+            self.params, self.emb, coords, lbls, None, self.cfg, multimask)
 
         # Two-pass refine when mixing positive + negative clicks (:57-71).
-        if len(labels) > 1 and labels[-1] == 1 and (np.asarray(labels) == 0).any():
-            pred2 = predictor.predict(
-                self.params, self.emb, coords, lbls, low_res, self.cfg
-            )
-            mask, _, score, low_res = predictor.select_best(pred2, self.cfg, multimask)
+        if len(labels_np) > 1 and labels_np[-1] == 1 and (labels_np == 0).any():
+            mask, _, score, low_res = _click_predict(
+                self.params, self.emb, coords, lbls, low_res, self.cfg,
+                multimask)
 
-        painted = mask_painter(
-            jnp.asarray(image), mask, jnp.asarray([255, 99, 71], jnp.uint8)
-        )
-        pos = lbls == 1
-        painted = point_painter(painted, coords, pos, jnp.asarray([0, 255, 0], jnp.uint8))
-        painted = point_painter(painted, coords, ~pos, jnp.asarray([255, 0, 0], jnp.uint8))
+        painted = _paint(jnp.asarray(image), mask, coords,
+                         jnp.asarray(lbl == 1), jnp.asarray(lbl == 0))
         return np.asarray(mask), np.asarray(low_res), np.asarray(painted)
