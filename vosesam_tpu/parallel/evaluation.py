@@ -231,11 +231,16 @@ class BatchedGenerator:
         self.chunk_step = (make_batched_chunk_step(cfg, self.mesh)
                            if self.chunk > 1 else None)
 
-    def run(self, videos, templates):
+    def run(self, videos, templates, return_states: bool = False):
         """videos: list of per-video frame lists ((H, W, 3) uint8, equal
         H, W across videos); templates: list of (H, W) indexed uint8 masks.
         Returns a list of {"masks": [(H, W) uint8 ...], "scores": [list ...]}
-        (one mask/score-list per true frame of each video)."""
+        (one mask/score-list per true frame of each video).
+
+        `return_states=True` additionally returns the final batched
+        TrackerState (leading lane axis, padded lanes included) — lets
+        callers inspect per-lane memory (e.g. LT occupancy/eviction in the
+        long-lane soak test) or checkpoint a run."""
         import numpy as np
 
         from vosesam_tpu.utils.mask_mapper import MaskMapper
@@ -338,4 +343,6 @@ class BatchedGenerator:
                 slots = [s for s in live_slots if s in present]
                 scores.append([float(per_t_scores[t][lane][s - 1]) for s in slots])
             out.append({"masks": masks, "scores": scores})
+        if return_states:
+            return out, states
         return out
