@@ -142,6 +142,88 @@ class TestServer:
             model.baseinpainter = None
             httpd.shutdown()
 
+    def test_two_clients_busy_503(self, model):
+        """Single-flight under two concurrent clients: the in-flight /track
+        wins; the overlapping request gets an IMMEDIATE 503 + Retry-After
+        (not an indefinite queue); a retry after completion succeeds."""
+        import threading
+        import time
+        import urllib.error
+
+        from vosesam_tpu.serve.server import serve
+
+        httpd = serve(model, port=0)
+        port = httpd.server_address[1]
+        base = f"http://127.0.0.1:{port}"
+        frames = synthetic_video(3)
+        req = json.dumps({
+            "frames": [b64_img(f) for f in frames],
+            "template_mask": b64_mask(template()),
+        }).encode()
+
+        def post():
+            return urllib.request.urlopen(urllib.request.Request(
+                f"{base}/track", data=req,
+                headers={"Content-Type": "application/json"}))
+
+        # Deterministic overlap: client A's generator blocks ~0.8 s and
+        # signals entry, so client B provably overlaps the in-flight call.
+        orig_gen = model.generator
+        entered = threading.Event()
+
+        def slow_generator(*a, **k):
+            entered.set()
+            time.sleep(0.8)
+            return orig_gen(*a, **k)
+
+        first = {}
+
+        def client_a():
+            r = post()
+            first["code"] = r.status
+
+        def wait_lock_free(timeout=5.0):
+            # the busy lock releases a scheduling quantum AFTER the client
+            # reads its response — a client that fires instantly can race
+            # it (that's what Retry-After is for); the test waits it out
+            # to keep phase boundaries deterministic
+            from vosesam_tpu.serve.server import InferenceHandler
+            t0 = time.perf_counter()
+            while InferenceHandler.lock.locked():
+                assert time.perf_counter() - t0 < timeout, "lock stuck"
+                time.sleep(0.01)
+
+        try:
+            post()   # warm the jits
+            wait_lock_free()
+            model.generator = slow_generator
+            th = threading.Thread(target=client_a)
+            th.start()
+            assert entered.wait(10.0), "client A never reached the model"
+            t0 = time.perf_counter()
+            with pytest.raises(urllib.error.HTTPError) as e:
+                post()
+            busy_wall = time.perf_counter() - t0
+            th.join()
+            assert first["code"] == 200
+            assert e.value.code == 503
+            assert e.value.headers.get("Retry-After") == "1"
+            # the refusal must be immediate, not queued behind A's 0.8 s
+            assert busy_wall < 0.5, (
+                f"busy reply took {busy_wall:.2f}s — queued, not refused")
+            # and a retry after A completes succeeds
+            model.generator = orig_gen
+            wait_lock_free()
+            assert post().status == 200
+        finally:
+            # drop the instance-attr shadow, restoring the class method
+            # (model is the shared fresh_ta instance)
+            try:
+                del model.generator
+            except AttributeError:
+                pass
+            httpd.shutdown()
+
     def test_unknown_route_404(self, model):
         from vosesam_tpu.serve.server import serve
 

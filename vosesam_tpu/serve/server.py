@@ -16,7 +16,14 @@ only the stdlib (flask isn't in the image):
                   (503 unless the model was built with an E2FGVI
                   inpainter — TrackingAnything(e2fgvi_checkpoint=...))
 
-Images travel base64; masks come back as palette PNGs."""
+Images travel base64; masks come back as palette PNGs.
+
+Concurrency: inference routes are SINGLE-FLIGHT — one model, one device,
+one request at a time. A request arriving while another is in flight gets
+an immediate ``503 {"error": "busy"}`` with a ``Retry-After`` header
+instead of queueing indefinitely behind the lock (two slow /track calls
+would otherwise stack wall-clock); clients retry with backoff. /health is
+always served."""
 
 from __future__ import annotations
 
@@ -53,11 +60,14 @@ class InferenceHandler(BaseHTTPRequestHandler):
     model = None          # class attrs injected by serve()
     lock = threading.Lock()
 
-    def _json(self, code: int, payload: dict) -> None:
+    def _json(self, code: int, payload: dict,
+              retry_after: Optional[int] = None) -> None:
         body = json.dumps(payload).encode()
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
+        if retry_after is not None:
+            self.send_header("Retry-After", str(retry_after))
         self.end_headers()
         self.wfile.write(body)
 
@@ -80,20 +90,23 @@ class InferenceHandler(BaseHTTPRequestHandler):
             self._json(400, {"error": f"bad json: {e}"})
             return
 
+        route = {"/segment": self._segment, "/track": self._track,
+                 "/inpaint": self._inpaint}.get(self.path)
+        if route is None:
+            self._json(404, {"error": "unknown route"})
+            return
+        # Single-flight: refuse immediately when busy rather than queueing
+        # (see module docstring).
+        if not self.lock.acquire(blocking=False):
+            self._json(503, {"error": "busy: another inference request is "
+                             "in flight"}, retry_after=1)
+            return
         try:
-            if self.path == "/segment":
-                with self.lock:
-                    self._segment(req)
-            elif self.path == "/track":
-                with self.lock:
-                    self._track(req)
-            elif self.path == "/inpaint":
-                with self.lock:
-                    self._inpaint(req)
-            else:
-                self._json(404, {"error": "unknown route"})
+            route(req)
         except Exception as e:  # surface errors to the client
             self._json(500, {"error": f"{type(e).__name__}: {e}"})
+        finally:
+            self.lock.release()
 
     def _segment(self, req: dict) -> None:
         image = _decode_image(req["image"])
