@@ -344,7 +344,8 @@ class TestDataParallelTraining:
         ov[:, 0] = True
         return frames, jnp.asarray(gt), jnp.asarray(ov)
 
-    def test_sharded_step_matches_single_placement(self, mesh):
+    @pytest.mark.slow   # ~50 s: two full train-step compiles (quick-gate
+    def test_sharded_step_matches_single_placement(self, mesh):  # budget)
         from vosesam_tpu.training import trainer as T
 
         cfg = FrameworkConfig(

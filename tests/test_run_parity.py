@@ -17,6 +17,12 @@ import jax
 import numpy as np
 import pytest
 
+# CLI-subprocess integration tests (~150 s combined): slow-gate material —
+# the quick gate keeps the in-process parity coverage (test_eval,
+# test_chunked, test_batched_runner); the full CLI pipeline also runs in
+# tests/test_checkpoint_day.py (slow).
+pytestmark = pytest.mark.slow
+
 torch = pytest.importorskip("torch")
 from PIL import Image  # noqa: E402
 
