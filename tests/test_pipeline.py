@@ -139,6 +139,34 @@ class TestInteract:
         mask, logit, painted = ta.first_frame_click(img, pts, lbl)
         assert mask.shape == (H, W)
 
+    def test_click_pack_matches_official_one_pad(self):
+        """The jitted click path must use the OFFICIAL predictor prompt
+        pack — the raw clicks + exactly ONE (0,0,-1) pad (the convention
+        the torch-oracle parity tests pin). Pad tokens are real decoder
+        tokens, so pack size changes outputs: a fixed max_points pad
+        measured ~40% mask divergence under random weights."""
+        import jax.numpy as jnp
+
+        from vosesam_tpu.models.sam import predictor
+
+        ta = fresh_ta(True)
+        img = synthetic_video(1)[0]
+        sc = ta.samcontroler
+        sc.set_image(img)
+        pts = np.array([[20.0, 15.0], [40.0, 30.0]])
+        lbl = np.array([1, 0])           # last click negative -> single pass
+        mask, low, _ = sc.first_frame_click(img, pts, lbl)
+
+        pts_off = np.concatenate([pts, [[0.0, 0.0]]], 0).astype(np.float32)
+        lbl_off = np.concatenate([lbl, [-1]], 0).astype(np.int32)
+        pred = predictor.predict(
+            sc.params, sc.emb, jnp.asarray(pts_off),
+            jnp.asarray(lbl_off), None, ta.cfg.sam)
+        m_off, _, _, low_off = predictor.select_best(pred, ta.cfg.sam, True)
+        np.testing.assert_array_equal(mask, np.asarray(m_off))
+        np.testing.assert_allclose(low, np.asarray(low_off),
+                                   rtol=1e-5, atol=1e-5)
+
 
 def test_parse_augment_defaults(monkeypatch):
     monkeypatch.setattr("sys.argv", ["prog"])

@@ -6,14 +6,20 @@ a negative click and the latest click is positive, a second pass feeds the
 first pass's best mask logit back as a mask prompt ('both' mode, :57-71);
 the chosen mask and the click points are painted for the UI.
 
-TPU latency notes: every device call here is JITTED with STATIC shapes —
-the click history is padded to cfg.max_points (label -1 = pad, the same
-convention the refinement loop uses), so every click count from 1 to
-max_points shares ONE compiled program, and the decode+select and the
-3-layer paint each run as a single dispatch. The eager version of this path
-measured 690 ms p50 per click on the tunneled chip (predict alone 443 ms of
-per-op dispatch overhead); see BASELINE.md interactive-latency section.
-"""
+TPU latency notes: every device call here is JITTED — the decode+select
+and the 3-layer paint each run as a single dispatch. The eager version of
+this path measured 690 ms p50 per click on the tunneled chip (predict
+alone 443 ms of per-op dispatch overhead); see BASELINE.md.
+
+Prompt-pack convention: the click history travels RAW plus exactly ONE
+(0, 0, -1) pad point — the official predictor's `_embed_points(pad=True)`
+semantics, the same convention the torch-oracle parity tests pin
+(tests/test_reference_parity_sam.py:174-176). Pad tokens are REAL decoder
+tokens (not_a_point embeds participate in attention), so a fixed
+max_points-padded pack is NOT equivalent — it measured ~40% mask
+divergence under random weights and was rejected. Cost: one decoder
+compile per distinct click count (persistently cached; click counts are
+small integers)."""
 
 from __future__ import annotations
 
@@ -73,13 +79,12 @@ class SamController:
         if self.emb is None:
             self.set_image(image)
         labels_np = np.asarray(labels)
-        # Static prompt pack: latest max_points clicks, -1-padded.
-        cap = self.cfg.max_points
-        n = min(len(labels_np), cap)
-        pts = np.zeros((cap, 2), np.float32)
-        lbl = np.full((cap,), -1, np.int32)
-        pts[:n] = np.asarray(points, np.float32)[-n:]
-        lbl[:n] = labels_np[-n:]
+        # Official prompt pack: the raw clicks + ONE (0,0,-1) pad point
+        # (see module docstring).
+        pts = np.concatenate(
+            [np.asarray(points, np.float32).reshape(-1, 2),
+             np.zeros((1, 2), np.float32)], 0)
+        lbl = np.concatenate([labels_np.astype(np.int32), [-1]], 0)
         coords = jnp.asarray(pts)
         lbls = jnp.asarray(lbl)
 
