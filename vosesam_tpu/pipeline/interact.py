@@ -37,20 +37,25 @@ from vosesam_tpu.viz.painter import mask_painter, point_painter
 _encode = jax.jit(predictor.encode_image, static_argnames=("cfg",))
 
 
-@partial(jax.jit, static_argnames=("cfg", "multimask"))
-def _click_predict(params, emb, coords, labels, mask_input, cfg, multimask):
-    """predict + reference-predictor mask selection, one dispatch."""
-    pred = predictor.predict(params, emb, coords, labels, mask_input, cfg)
-    return predictor.select_best(pred, cfg, multimask)
-
-
-@jax.jit
-def _paint(image, mask, coords, pos, neg):
+@partial(jax.jit, static_argnames=("cfg", "multimask", "two_pass"))
+def _click_full(params, emb, image, coords, labels, cfg, multimask,
+                two_pass):
+    """The WHOLE click in one dispatch: predict (+ the optional second
+    'both'-mode pass — its trigger depends only on the click labels, which
+    the host knows before dispatching) + mask selection + the 3-layer
+    paint. One device round trip per click instead of two/three."""
+    pred = predictor.predict(params, emb, coords, labels, None, cfg)
+    mask, _, score, low_res = predictor.select_best(pred, cfg, multimask)
+    if two_pass:   # interact_tools.py:57-71
+        pred2 = predictor.predict(params, emb, coords, labels, low_res, cfg)
+        mask, _, score, low_res = predictor.select_best(pred2, cfg, multimask)
     painted = mask_painter(image, mask, jnp.asarray([255, 99, 71], jnp.uint8))
+    pos, neg = labels == 1, labels == 0
     painted = point_painter(painted, coords, pos,
                             jnp.asarray([0, 255, 0], jnp.uint8))
-    return point_painter(painted, coords, neg,
-                         jnp.asarray([255, 0, 0], jnp.uint8))
+    painted = point_painter(painted, coords, neg,
+                            jnp.asarray([255, 0, 0], jnp.uint8))
+    return mask, low_res, painted
 
 
 class SamController:
@@ -85,18 +90,11 @@ class SamController:
             [np.asarray(points, np.float32).reshape(-1, 2),
              np.zeros((1, 2), np.float32)], 0)
         lbl = np.concatenate([labels_np.astype(np.int32), [-1]], 0)
-        coords = jnp.asarray(pts)
-        lbls = jnp.asarray(lbl)
-
-        mask, _, score, low_res = _click_predict(
-            self.params, self.emb, coords, lbls, None, self.cfg, multimask)
-
         # Two-pass refine when mixing positive + negative clicks (:57-71).
-        if len(labels_np) > 1 and labels_np[-1] == 1 and (labels_np == 0).any():
-            mask, _, score, low_res = _click_predict(
-                self.params, self.emb, coords, lbls, low_res, self.cfg,
-                multimask)
-
-        painted = _paint(jnp.asarray(image), mask, coords,
-                         jnp.asarray(lbl == 1), jnp.asarray(lbl == 0))
+        two_pass = bool(
+            len(labels_np) > 1 and labels_np[-1] == 1
+            and (labels_np == 0).any())
+        mask, low_res, painted = _click_full(
+            self.params, self.emb, jnp.asarray(image), jnp.asarray(pts),
+            jnp.asarray(lbl), self.cfg, multimask, two_pass)
         return np.asarray(mask), np.asarray(low_res), np.asarray(painted)
