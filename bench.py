@@ -109,6 +109,14 @@ _OBJ_COLORS = (
 )
 
 
+def tri(t: int, amp: int) -> int:
+    """Triangle wave in [0, amp] — the bounded periodic motion primitive
+    shared by every synthetic-video family here (linear motion walks
+    objects off-frame past ~190 frames)."""
+    m = t % (2 * amp)
+    return amp - abs(amp - m)
+
+
 def multi_object_frames(n: int, h: int, w: int, o: int,
                         seed: int = 0) -> np.ndarray:
     """n frames with `o` 120x160 rectangles on distinct periodic
@@ -118,11 +126,6 @@ def multi_object_frames(n: int, h: int, w: int, o: int,
     assert 1 <= o <= 8
     r = np.random.default_rng(seed)
     base = r.integers(0, 255, (h, w, 3), np.uint8)
-
-    def tri(t: int, amp: int) -> int:
-        m = t % (2 * amp)
-        return amp - abs(amp - m)
-
     anchors = [(30 + (k // 4) * 240, 20 + (k % 4) * 210) for k in range(o)]
     out = np.empty((n, h, w, 3), np.uint8)
     for i in range(n):
@@ -152,11 +155,6 @@ def soak_frames(n: int, h: int, w: int, seed: int = 0) -> np.ndarray:
     ~190 frames, which would degenerate a 1.5k-frame soak."""
     r = np.random.default_rng(seed)
     base = r.integers(0, 255, (h, w, 3), np.uint8)
-
-    def tri(t: int, amp: int) -> int:
-        m = t % (2 * amp)
-        return amp - abs(amp - m)
-
     out = np.empty((n, h, w, 3), np.uint8)
     for i in range(n):
         f = base.copy()
@@ -185,6 +183,8 @@ def _fps_by_objects(base_cfg, h: int, w: int, chunk: int,
 
     from vosesam_tpu.config import MemoryConfig, XMemConfig
 
+    if chunk > 1:   # same chunk-multiple rounding as main()
+        n_frames = -(-n_frames // chunk) * chunk
     out = {}
     for o in (1, 2, 4, 8):
         cfg = dataclasses.replace(
@@ -359,12 +359,12 @@ def _soak(cfg, h: int, w: int, chunk: int, n_frames: int) -> dict:
     # first soak attempt measured a "14.7 fps tail decay" that the
     # back-to-back stage replay, scripts/exp_soak_decay.py, proved was a
     # stall artifact: every stage is flat early-vs-late).
-    reps, rep_c = 3, 64 // chunk
+    reps, rep_c = 3, max(1, 64 // chunk)   # >=1 chunk/rep for any chunk
     n_chunks = n_frames // chunk
     win_defs = []
     for label, start_f in (
         ("frame_64", 56), ("frame_512", 448),
-        ("frame_tail", n_frames - reps * 64),
+        ("frame_tail", n_frames - reps * rep_c * chunk),
     ):
         s_c, l_c = start_f // chunk, reps * rep_c
         if 0 <= s_c and s_c + l_c <= n_chunks and all(
@@ -443,18 +443,19 @@ def _soak(cfg, h: int, w: int, chunk: int, n_frames: int) -> dict:
     # occupancy, mask structure), not tunnel-rate drift over the run.
     fps_fresh = None
     if "frame_64" in fps_windows:
+        warm_c = 56 // chunk               # warm to the frame_64 window
         st2 = core.init_tracker_state(cfg, (h, w))
         st2, *_ = tracker.track_first_frame(
             xmem_params, st2, jnp.asarray(frames_np[0]), mask, valid, cfg,
             paint=False)
-        for m in range(7):
+        for m in range(warm_c):
             fb = tuple(jnp.asarray(frames_np[1 + m * chunk + t])
                        for t in range(chunk))
             st2, idx2, _ = track_chunk(xmem_params, sam_params, st2, fb, cfg)
         staged = [
-            tuple(jnp.asarray(frames_np[1 + (7 + m) * chunk + t])
+            tuple(jnp.asarray(frames_np[1 + (warm_c + m) * chunk + t])
                   for t in range(chunk))
-            for m in range(8)
+            for m in range(rep_c)
         ]
         np.asarray(st2.memory.work.count)
         runs = []
@@ -464,7 +465,7 @@ def _soak(cfg, h: int, w: int, chunk: int, n_frames: int) -> dict:
                 st2, idx2, _ = track_chunk(
                     xmem_params, sam_params, st2, fb, cfg)
             np.asarray(idx2.ravel()[0:1])
-            runs.append(64 / (time.perf_counter() - t0))
+            runs.append(rep_c * chunk / (time.perf_counter() - t0))
         fps_fresh = round(float(np.median(runs)), 3)
 
     out = {

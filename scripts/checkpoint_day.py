@@ -121,14 +121,24 @@ def main() -> None:
     off = {r["config"]: r for r in official}
     lb = {r["config"]: r for r in letterbox}
     deltas = {}
+    incomplete = []
     for cfg in JF_CONFIGS:
         jo = off.get(cfg, {}).get("JF_mean")
         jl = lb.get(cfg, {}).get("JF_mean")
         if jo is not None and jl is not None:
             deltas[cfg] = round(jl - jo, 4)
+        elif jo is not None or jl is not None:
+            # one phase produced J&F and the other didn't — a comparison
+            # that SHOULD have happened but couldn't; never promote on it
+            incomplete.append(cfg)
+    # Promote ONLY on a complete comparison: every J&F-bearing config that
+    # produced a number did so in BOTH phases (configs absent from both —
+    # e.g. a dataset not downloaded — are excluded, and noted below).
+    excluded = [c for c in JF_CONFIGS if c not in deltas
+                and c not in incomplete]
     verdict = ("promote"
-               if deltas and all(abs(d) <= args.jf_gate
-                                 for d in deltas.values())
+               if deltas and not incomplete
+               and all(abs(d) <= args.jf_gate for d in deltas.values())
                else "keep")
 
     report = {
@@ -136,6 +146,8 @@ def main() -> None:
         "letterbox": letterbox,
         "letterbox_geometry": args.letterbox,
         "letterbox_jf_delta": deltas,
+        "letterbox_incomplete": incomplete,
+        "letterbox_excluded": excluded,
         "jf_gate": args.jf_gate,
         "letterbox_verdict": verdict,
         "notes": [
@@ -158,6 +170,12 @@ def main() -> None:
         print(f"  {cfg:36s} dJ&F(letterbox-official) = {d:+.4f}")
     if not deltas:
         print("  (no J&F-bearing config produced numbers in both phases)")
+    for cfg in incomplete:
+        print(f"  {cfg:36s} INCOMPLETE: J&F in only one phase — "
+              "verdict forced to 'keep'")
+    for cfg in excluded:
+        print(f"  {cfg:36s} excluded: no J&F in either phase "
+              "(dataset/GT absent)")
     print(f"  letterbox gear: **{verdict.upper()}**  (gate ±{args.jf_gate})")
     for n in report["notes"]:
         print(f"  note: {n}")

@@ -57,6 +57,9 @@ def main() -> None:
     from vosesam_tpu.models.xmem import network as xnet
 
     n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 1536
+    if n_frames < 256:
+        raise SystemExit("need >= 256 frames: the early (chunk 7) and late "
+                         "(chunk n-9) snapshots must be distinct and ordered")
     chunk = 8
     h, w = 480, 854
     cfg = FrameworkConfig(

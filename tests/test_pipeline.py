@@ -163,7 +163,11 @@ class TestInteract:
             sc.params, sc.emb, jnp.asarray(pts_off),
             jnp.asarray(lbl_off), None, ta.cfg.sam)
         m_off, _, _, low_off = predictor.select_best(pred, ta.cfg.sam, True)
-        np.testing.assert_array_equal(mask, np.asarray(m_off))
+        # jit-vs-eager fusion can shift logits ~1 ulp; allow only
+        # threshold-adjacent pixel flips, not a convention mismatch (the
+        # rejected fixed-size pack diverged ~40% of pixels)
+        mismatch = np.mean(mask != np.asarray(m_off))
+        assert mismatch < 1e-3, f"mask mismatch fraction {mismatch}"
         np.testing.assert_allclose(low, np.asarray(low_off),
                                    rtol=1e-5, atol=1e-5)
 

@@ -24,17 +24,13 @@ Pinned:
 import numpy as np
 import pytest
 
+from bench import tri as _tri
 from tests.test_pipeline import H, W, fresh_ta
 
 pytestmark = pytest.mark.slow
 
 LONG_N = 520          # >= 512-frame lane (the task's bar)
 SHORT_N = 140
-
-
-def _tri(t: int, amp: int) -> int:
-    m = t % (2 * amp)
-    return amp - abs(amp - m)
 
 
 def _video(n, seed, label):
