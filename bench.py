@@ -275,7 +275,8 @@ def _interactive_bench(cfg, h: int = 480, w: int = 854) -> dict:
     }
 
 
-def _soak(cfg, h: int, w: int, chunk: int, n_frames: int) -> dict:
+def _soak(cfg, h: int, w: int, chunk: int, n_frames: int,
+          objects: int = 2) -> dict:
     """Long-video soak at the PRODUCTION memory config (VERDICT r4 task 1).
 
     Runs one continuous `n_frames`-frame rollout through the chunked driver
@@ -305,7 +306,15 @@ def _soak(cfg, h: int, w: int, chunk: int, n_frames: int) -> dict:
 
     t_start = time.time()
     n_frames = -(-n_frames // chunk) * chunk
-    frames_np = soak_frames(1 + n_frames, h, w)
+    if objects == 2:   # the headline 2-object family (anchor)
+        frames_np = soak_frames(1 + n_frames, h, w)
+        mask = (jnp.zeros((cfg.xmem.max_objects, h, w))
+                .at[0, 40:260, 10:360].set(1.0)
+                .at[1, 30:130, 560:710].set(1.0))
+    else:              # the uniform O-scaling family (SOAK_OBJECTS)
+        frames_np = multi_object_frames(1 + n_frames, h, w, objects)
+        mask = jnp.asarray(
+            multi_object_seed_mask(h, w, objects, cfg.xmem.max_objects))
 
     xmem_params = xnet.xmem_init(jax.random.PRNGKey(0), cfg.xmem,
                                  dtype=jnp.bfloat16)
@@ -314,10 +323,7 @@ def _soak(cfg, h: int, w: int, chunk: int, n_frames: int) -> dict:
         if cfg.refinement.use_refinement else None)
 
     state = core.init_tracker_state(cfg, (h, w))
-    mask = (jnp.zeros((cfg.xmem.max_objects, h, w))
-            .at[0, 40:260, 10:360].set(1.0)
-            .at[1, 30:130, 560:710].set(1.0))
-    valid = jnp.arange(cfg.xmem.max_objects) < 2
+    valid = jnp.arange(cfg.xmem.max_objects) < objects
     state, *_ = tracker.track_first_frame(
         xmem_params, state, jnp.asarray(frames_np[0]), mask, valid, cfg,
         paint=False)

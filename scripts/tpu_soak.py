@@ -40,9 +40,10 @@ def main() -> None:
 
     n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 1536
     chunk = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    objects = int(os.environ.get("SOAK_OBJECTS", "2"))
     cfg = FrameworkConfig(
-        xmem=XMemConfig(max_objects=2),
-        memory=MemoryConfig(live_objects=2),
+        xmem=XMemConfig(max_objects=objects),
+        memory=MemoryConfig(live_objects=objects),
         sam=SAMConfig(model_type=os.environ.get("BENCH_SAM", "vit_h"),
                       hq=True, encode_rect=True),
         refinement=RefinementConfig(
@@ -50,8 +51,8 @@ def main() -> None:
             mode="both_neg", optimized=True),
         dtype="bfloat16",
     )
-    out = bench._soak(cfg, 480, 854, chunk, n_frames)
-    print(json.dumps({"soak": out}))
+    out = bench._soak(cfg, 480, 854, chunk, n_frames, objects=objects)
+    print(json.dumps({"soak": out, "objects": objects}))
 
 
 if __name__ == "__main__":
