@@ -41,11 +41,16 @@ def main() -> None:
     n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 1536
     chunk = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     objects = int(os.environ.get("SOAK_OBJECTS", "2"))
+    # SOAK_ENCODE=letterbox:448x896 soaks the opt-in fast gear
+    enc = os.environ.get("SOAK_ENCODE", "rect")
+    enc_kw = ({"encode_rect": True} if enc == "rect" else
+              {"encode_letterbox_hw": tuple(
+                  int(v) for v in enc.split(":")[1].split("x"))})
     cfg = FrameworkConfig(
         xmem=XMemConfig(max_objects=objects),
         memory=MemoryConfig(live_objects=objects),
         sam=SAMConfig(model_type=os.environ.get("BENCH_SAM", "vit_h"),
-                      hq=True, encode_rect=True),
+                      hq=True, **enc_kw),
         refinement=RefinementConfig(
             use_refinement=os.environ.get("SOAK_REFINE", "1") == "1",
             mode="both_neg", optimized=True),
