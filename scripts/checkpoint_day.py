@@ -47,6 +47,33 @@ JF_CONFIGS = ("1_davis2016_bear_xmem_only", "3_davis2017_val_samhq",
               "4_longdataset_consolidation", "5_lvos_val")
 
 
+def compute_verdict(official: list, letterbox: list, jf_gate: float) -> dict:
+    """The promotion decision, pure: per-JF-config deltas, incomplete
+    (J&F in exactly one phase -> never promote) and excluded (J&F in
+    neither — dataset/GT absent) sets, and the promote/keep verdict.
+    Promote ONLY on a complete comparison: >=1 delta, no incomplete
+    config, every delta within the gate."""
+    off = {r["config"]: r for r in official}
+    lb = {r["config"]: r for r in letterbox}
+    deltas = {}
+    incomplete = []
+    for cfg in JF_CONFIGS:
+        jo = off.get(cfg, {}).get("JF_mean")
+        jl = lb.get(cfg, {}).get("JF_mean")
+        if jo is not None and jl is not None:
+            deltas[cfg] = round(jl - jo, 4)
+        elif jo is not None or jl is not None:
+            incomplete.append(cfg)
+    excluded = [c for c in JF_CONFIGS if c not in deltas
+                and c not in incomplete]
+    verdict = ("promote"
+               if deltas and not incomplete
+               and all(abs(d) <= jf_gate for d in deltas.values())
+               else "keep")
+    return {"deltas": deltas, "incomplete": incomplete,
+            "excluded": excluded, "verdict": verdict}
+
+
 def _run_phase(out: str, extra: list, platform: str) -> list:
     cmd = [sys.executable, os.path.join(REPO, "run_parity.py"),
            "--out", out, *extra]
@@ -118,28 +145,9 @@ def main() -> None:
     letterbox = _run_phase(b_out, b_extra, args.platform)
 
     # ---- phase C: the promotion verdict ---------------------------------
-    off = {r["config"]: r for r in official}
-    lb = {r["config"]: r for r in letterbox}
-    deltas = {}
-    incomplete = []
-    for cfg in JF_CONFIGS:
-        jo = off.get(cfg, {}).get("JF_mean")
-        jl = lb.get(cfg, {}).get("JF_mean")
-        if jo is not None and jl is not None:
-            deltas[cfg] = round(jl - jo, 4)
-        elif jo is not None or jl is not None:
-            # one phase produced J&F and the other didn't — a comparison
-            # that SHOULD have happened but couldn't; never promote on it
-            incomplete.append(cfg)
-    # Promote ONLY on a complete comparison: every J&F-bearing config that
-    # produced a number did so in BOTH phases (configs absent from both —
-    # e.g. a dataset not downloaded — are excluded, and noted below).
-    excluded = [c for c in JF_CONFIGS if c not in deltas
-                and c not in incomplete]
-    verdict = ("promote"
-               if deltas and not incomplete
-               and all(abs(d) <= args.jf_gate for d in deltas.values())
-               else "keep")
+    v = compute_verdict(official, letterbox, args.jf_gate)
+    deltas, incomplete = v["deltas"], v["incomplete"]
+    excluded, verdict = v["excluded"], v["verdict"]
 
     report = {
         "official": official,

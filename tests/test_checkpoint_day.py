@@ -5,6 +5,7 @@ the letterbox J&F deltas are computed, and the promote/keep verdict is
 emitted. The schema tests prove the checkpoints are convertible; this
 proves the DECISION pipeline is executable before real weights arrive."""
 
+import importlib.util
 import json
 import os
 import subprocess
@@ -13,12 +14,67 @@ import sys
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.slow
-
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CACHE = os.path.join(REPO, "tests", ".jax_cache_cpu")
 
 
+def _load_cd():
+    spec = importlib.util.spec_from_file_location(
+        "checkpoint_day", os.path.join(REPO, "scripts", "checkpoint_day.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _rows(**jf):
+    return [{"config": c, "JF_mean": v} for c, v in jf.items()]
+
+
+class TestVerdictLogic:
+    """compute_verdict, pure (the subprocess test only reaches the
+    complete-comparison path)."""
+
+    def test_promote_when_all_within_gate(self):
+        cd = _load_cd()
+        off = _rows(**{c: 0.80 for c in cd.JF_CONFIGS})
+        lb = _rows(**{c: 0.75 for c in cd.JF_CONFIGS})
+        v = cd.compute_verdict(off, lb, 0.2)
+        assert v["verdict"] == "promote" and not v["incomplete"]
+        assert all(abs(d + 0.05) < 1e-9 for d in v["deltas"].values())
+
+    def test_keep_when_any_delta_exceeds_gate(self):
+        cd = _load_cd()
+        off = _rows(**{c: 0.80 for c in cd.JF_CONFIGS})
+        lb = _rows(**{c: (0.50 if c == cd.JF_CONFIGS[0] else 0.79)
+                      for c in cd.JF_CONFIGS})
+        assert cd.compute_verdict(off, lb, 0.2)["verdict"] == "keep"
+
+    def test_keep_when_comparison_incomplete(self):
+        """A config with J&F in only ONE phase forces 'keep' even when
+        every computed delta passes — never promote on partial data."""
+        cd = _load_cd()
+        off = _rows(**{c: 0.80 for c in cd.JF_CONFIGS})
+        lb = _rows(**{c: 0.80 for c in cd.JF_CONFIGS[:2]})  # 2 missing
+        v = cd.compute_verdict(off, lb, 0.2)
+        assert v["verdict"] == "keep"
+        assert set(v["incomplete"]) == set(cd.JF_CONFIGS[2:])
+
+    def test_excluded_configs_do_not_block_promotion(self):
+        """Absent from BOTH phases (dataset not downloaded) = excluded,
+        not incomplete; the remaining complete comparison can promote."""
+        cd = _load_cd()
+        both = cd.JF_CONFIGS[:2]
+        off, lb = _rows(**{c: 0.8 for c in both}), _rows(**{c: 0.8 for c in both})
+        v = cd.compute_verdict(off, lb, 0.2)
+        assert v["verdict"] == "promote"
+        assert set(v["excluded"]) == set(cd.JF_CONFIGS[2:])
+
+    def test_keep_when_nothing_compared(self):
+        cd = _load_cd()
+        assert cd.compute_verdict([], [], 0.2)["verdict"] == "keep"
+
+
+@pytest.mark.slow
 def test_checkpoint_day_synthetic_end_to_end(tmp_path):
     out = tmp_path / "cd"
     env = dict(os.environ)
