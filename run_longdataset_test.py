@@ -34,6 +34,12 @@ def main() -> None:
     ap.add_argument("--chunk", type=int, default=None,
                     help="chunked scan + batched-SAM fast path (bit-equal "
                          "masks; K=8 is the measured v5e optimum)")
+    ap.add_argument("--batch", action="store_true",
+                    help="lockstep batches over the mesh data axis "
+                         "(BatchedGenerator; metrics identical to "
+                         "sequential, fps = group aggregate)")
+    ap.add_argument("--mesh", default=None, metavar="DPxMP",
+                    help="data x model mesh shape for --batch, e.g. 4x2")
     args = ap.parse_args()
 
     dataset = LongVideoDataset(args.root, args.split_file)
@@ -42,16 +48,28 @@ def main() -> None:
             sam=SAMConfig(model_type=args.sam_model_type, hq=args.hq),
             refinement=CONFIGS[name],
         )
+        if args.mesh:
+            import dataclasses
+            dp, mp = (int(v) for v in args.mesh.split("x"))
+            cfg = dataclasses.replace(
+                cfg, parallel=dataclasses.replace(
+                    cfg.parallel, data_parallel=dp, model_parallel=mp))
         model = TrackingAnything(
             sam_checkpoint=args.sam_checkpoint,
             xmem_checkpoint=args.xmem_checkpoint, cfg=cfg,
         )
+        batched = None
+        if args.batch:
+            from vosesam_tpu.parallel.evaluation import BatchedGenerator
+            batched = BatchedGenerator(
+                model.xmem_params, model.sam_params, model.cfg,
+                chunk=args.chunk or 1)
         runname = f"long_{name}_{uuid.uuid4().hex[:6]}"
         print(f"=== {runname} ===")
         df = run_model_on_longdata_set(
             runname, model, dataset,
             save_masks=args.save_masks, max_videos=args.max_videos,
-            chunk=args.chunk,
+            chunk=args.chunk, batched=batched,
         )
         print(df[["video", "J_mean", "F_mean", "JF_mean", "fps"]]
               .to_string(index=False))

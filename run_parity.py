@@ -207,10 +207,11 @@ def main() -> None:
                          "measures what bench.py measures). K=8 is the "
                          "measured v5e optimum")
     ap.add_argument("--batch", action="store_true",
-                    help="run config 5 through the BatchedGenerator "
-                         "(videos sharded whole-per-device over the mesh "
-                         "data axis — BASELINE config 5's 'batched across "
-                         "a v5e slice' is then what actually executes)")
+                    help="run the dataset configs (1, 3, 4, 5) through the "
+                         "BatchedGenerator (videos sharded whole-per-device "
+                         "over the mesh data axis; metrics identical to "
+                         "sequential — tests/test_eval.py — fps becomes the "
+                         "group aggregate rate)")
     ap.add_argument("--encode", default="official",
                     help="SAM encode geometry for ALL configs: 'official' "
                          "(1024 square, the reference's exact behavior), "
@@ -273,6 +274,14 @@ def main() -> None:
 
     from vosesam_tpu.pipeline.track_anything import TrackingAnything
 
+    def mk_batched(model):
+        if not args.batch:
+            return None
+        from vosesam_tpu.parallel.evaluation import BatchedGenerator
+
+        return BatchedGenerator(model.xmem_params, model.sam_params,
+                                model.cfg, chunk=args.chunk or 1)
+
     ck = args.checkpoints
     xmem_ck = _exists(ck, "XMem-s012.pth")
     sam_ck = _exists(ck, "sam_vit_h_4b8939.pth")
@@ -309,7 +318,8 @@ def main() -> None:
                     refinement=RefinementConfig(use_refinement=False)),
             )
             df = run_model_on_davis_set("parity1_bear_xmem", model, ds,
-                                        max_videos=1, chunk=args.chunk)
+                                        max_videos=1, chunk=args.chunk,
+                                        batched=mk_batched(model))
             _report_row(rows, "1_davis2016_bear_xmem_only", df)
         else:
             _report_row(rows, "1_davis2016_bear_xmem_only",
@@ -373,7 +383,8 @@ def main() -> None:
             )
             df = run_model_on_davis_set("parity3_d17_hq", model, ds,
                                         max_videos=args.max_videos,
-                                        chunk=args.chunk)
+                                        chunk=args.chunk,
+                                        batched=mk_batched(model))
             _report_row(rows, "3_davis2017_val_samhq", df)
         else:
             _report_row(rows, "3_davis2017_val_samhq",
@@ -394,7 +405,8 @@ def main() -> None:
             )
             df = run_model_on_longdata_set("parity4_long", model, ds,
                                            max_videos=args.max_videos,
-                                           chunk=args.chunk)
+                                           chunk=args.chunk,
+                                           batched=mk_batched(model))
             _report_row(rows, "4_longdataset_consolidation", df)
         else:
             _report_row(rows, "4_longdataset_consolidation",

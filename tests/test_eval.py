@@ -261,6 +261,88 @@ class TestRunner:
             np.testing.assert_allclose(df_chk[col], df_seq[col], atol=1e-9,
                                        err_msg=col)
 
+    def test_davis_runner_batched_matches_sequential(self, tmp_path,
+                                                     monkeypatch):
+        """`batched=` wired through run_model_on_davis_set (mesh-lockstep
+        DP x chunked lanes) produces identical masks and J&F/AP metrics to
+        the sequential path — the METRIC-bearing runners now reach the
+        BatchedGenerator, not just save-only LVOS."""
+        import jax
+        from jax.sharding import Mesh
+
+        from tests.test_pipeline import fresh_ta
+        from vosesam_tpu.eval.runner import run_model_on_davis_set
+        from vosesam_tpu.parallel.evaluation import BatchedGenerator
+
+        make_davis_layout(str(tmp_path / "davis"), videos=("bear", "cow"),
+                          n_frames=5, size=(48, 64))
+        monkeypatch.chdir(tmp_path)
+        ds = DavisDataset(str(tmp_path / "davis"), "2017/val.txt")
+        model = fresh_ta(False)
+        df_seq = run_model_on_davis_set("seqb", model, ds, save_masks=True)
+        mesh = Mesh(np.asarray(jax.devices()[:2]),
+                    (model.cfg.parallel.data_axis,))
+        gen = BatchedGenerator(model.xmem_params, model.sam_params,
+                               model.cfg, mesh=mesh, chunk=2)
+        df_bat = run_model_on_davis_set("batb", model, ds, save_masks=True,
+                                        batched=gen)
+        assert list(df_bat["video"]) == list(df_seq["video"])
+        for col in ("J_mean", "F_mean", "JF_mean", "AP"):
+            np.testing.assert_allclose(df_bat[col], df_seq[col], atol=1e-9,
+                                       err_msg=col)
+        for v in ("bear", "cow"):
+            sdir = os.path.join("result", "seqb", "masks", v)
+            bdir = os.path.join("result", "batb", "masks", v)
+            files = sorted(os.listdir(sdir))
+            assert files == sorted(os.listdir(bdir)) and len(files) == 5
+            for f in files:
+                np.testing.assert_array_equal(
+                    load_palette_mask(os.path.join(sdir, f)),
+                    load_palette_mask(os.path.join(bdir, f)),
+                    err_msg=f"{v}/{f}")
+
+    def test_longdata_runner_batched_matches_sequential(self, tmp_path,
+                                                        monkeypatch):
+        """Same for the sparse-GT LongDataset runner (metrics only at
+        annotated frame ids)."""
+        import jax
+        from jax.sharding import Mesh
+
+        from tests.test_pipeline import fresh_ta
+        from vosesam_tpu.eval.runner import run_model_on_longdata_set
+        from vosesam_tpu.parallel.evaluation import BatchedGenerator
+
+        root = str(tmp_path / "long")
+        rng = np.random.default_rng(3)
+        for v, n in (("clipA", 6), ("clipB", 4)):   # uneven lengths
+            os.makedirs(os.path.join(root, "JPEGImages", v), exist_ok=True)
+            os.makedirs(os.path.join(root, "Annotations", v), exist_ok=True)
+            for i in range(n):
+                img = rng.integers(0, 255, (48, 64, 3), np.uint8)
+                img[8 + i:20 + i, 10 + i:26 + i] = [255, 40, 40]
+                Image.fromarray(img).save(
+                    os.path.join(root, "JPEGImages", v, f"{i:05d}.jpg"))
+            for i in (0, n - 1):   # sparse GT: first + last
+                m = np.zeros((48, 64), np.uint8)
+                m[8 + i:20 + i, 10 + i:26 + i] = 2
+                save_palette_mask(
+                    m, os.path.join(root, "Annotations", v, f"{i:05d}.png"))
+        monkeypatch.chdir(tmp_path)
+        ds = LongVideoDataset(root)
+        model = fresh_ta(False)
+        df_seq = run_model_on_longdata_set("seql", model, ds,
+                                           save_masks=True)
+        mesh = Mesh(np.asarray(jax.devices()[:2]),
+                    (model.cfg.parallel.data_axis,))
+        gen = BatchedGenerator(model.xmem_params, model.sam_params,
+                               model.cfg, mesh=mesh, chunk=2)
+        df_bat = run_model_on_longdata_set("batl", model, ds,
+                                           save_masks=True, batched=gen)
+        assert list(df_bat["video"]) == list(df_seq["video"])
+        for col in ("J_mean", "F_mean", "JF_mean", "AP"):
+            np.testing.assert_allclose(df_bat[col], df_seq[col], atol=1e-9,
+                                       err_msg=col)
+
 
 class TestOvis:
     def _make_layout(self, root):

@@ -71,17 +71,78 @@ def _eval_one_video(
         # No mapper (mock models in tests): assume contiguous labels.
         return {l + 1: s for l, s in enumerate(frame_scores)}
 
+    return _metrics_from_masks(
+        masks, gt_masks, [_score_map(s) for s in scores],
+        fps=len(frames) / dt if dt > 0 else 0.0, scores=scores)
+
+
+def _metrics_from_masks(
+    masks: List[np.ndarray], gt_masks: List[Optional[np.ndarray]],
+    label_scores: List[Dict[int, float]], fps: float, scores=None,
+) -> Dict:
+    """J&F/AP for one video from PRECOMPUTED masks (the sequential path's
+    generator output or a BatchedGenerator lane). `label_scores`: per-frame
+    {original-palette-label: confidence} maps for AP."""
     video_metrics = M.compute_all_video_metrics(masks, gt_masks)
     ap_rows: List[dict] = []
     for i, gt in enumerate(gt_masks):
         if gt is None or i == 0:
             continue
-        ap_rows.extend(M.true_positives(masks[i], gt, _score_map(scores[i])))
+        ap_rows.extend(M.true_positives(masks[i], gt, label_scores[i]))
     video_metrics.update(M.calculate_video_AP(ap_rows))
-    video_metrics["fps"] = len(frames) / dt if dt > 0 else 0.0
+    video_metrics["fps"] = fps
     video_metrics["masks"] = masks
-    video_metrics["scores"] = scores
+    video_metrics["scores"] = scores if scores is not None else label_scores
     return video_metrics
+
+
+def _batched_group_metrics(batched, group_frames, group_templates,
+                           group_gts) -> List[Dict]:
+    """Run a same-resolution video group through a BatchedGenerator and
+    compute per-video metrics. fps is the GROUP aggregate rate (true
+    frames / lockstep wall) assigned to every video — per-video timing is
+    meaningless when lanes advance together."""
+    t0 = time.time()
+    results = batched.run(group_frames, group_templates)
+    dt = time.time() - t0
+    total = sum(len(f) for f in group_frames)
+    fps = total / dt if dt > 0 else 0.0
+    return [
+        _metrics_from_masks(res["masks"], gts, res["label_scores"],
+                            fps=fps, scores=res["scores"])
+        for res, gts in zip(results, group_gts)
+    ]
+
+
+def _run_batched_with_gt(batched, dataset, max_videos, gts_of,
+                         template_of) -> List[Dict]:
+    """Drive a metric-bearing dataset through a BatchedGenerator: videos
+    grouped by resolution (one lockstep run per distinct (H, W)), metrics
+    per lane, results restored to the ORIGINAL dataset order. `gts_of`
+    maps an info dict to the per-frame GT list (None where unannotated);
+    `template_of(info, gts)` picks the seeding template."""
+    infos = []
+    for vi, info in enumerate(dataset.iter_videos()):
+        if max_videos is not None and vi >= max_videos:
+            break
+        infos.append(info)
+    groups: Dict[tuple, List[tuple]] = {}
+    for pos, info in enumerate(infos):
+        first = dataset.load_frame(info["name"], info["frames"][0])
+        groups.setdefault(first.shape[:2], []).append((pos, info))
+    per_video: List[Optional[Dict]] = [None] * len(infos)
+    for group in groups.values():
+        frames_list = [dataset.load_frames(i["name"], i["frames"])
+                       for _, i in group]
+        gts_list = [gts_of(i) for _, i in group]
+        templates = [template_of(i, g)
+                     for (_, i), g in zip(group, gts_list)]
+        vms = _batched_group_metrics(batched, frames_list, templates,
+                                     gts_list)
+        for (pos, info), vm in zip(group, vms):
+            vm["video"] = info["name"]
+            per_video[pos] = vm
+    return per_video
 
 
 def _write_video_csvs(run_dir: str, per_video: List[Dict]) -> None:
@@ -109,19 +170,34 @@ def run_model_on_davis_set(
     compute_video: bool = False,
     max_videos: Optional[int] = None,
     chunk: Optional[int] = None,
+    batched=None,
 ) -> pd.DataFrame:
-    """runner.py:13-124. `chunk`: see _eval_one_video."""
+    """runner.py:13-124. `chunk`: see _eval_one_video. `batched`: a
+    parallel.evaluation.BatchedGenerator — videos then run in lockstep
+    batches over the mesh `data` axis, grouped by resolution, with
+    identical masks/metrics to the sequential path
+    (tests/test_batched_runner.py); fps becomes the group aggregate
+    rate."""
     run_dir = _result_dir(runname)
-    per_video: List[Dict] = []
-    for vi, info in enumerate(dataset.iter_videos()):
-        if max_videos is not None and vi >= max_videos:
-            break
+    if batched is not None:
+        per_video = _run_batched_with_gt(
+            batched, dataset, max_videos,
+            gts_of=lambda info: [dataset.load_mask(info["name"], f)
+                                 for f in info["frames"]],
+            template_of=lambda info, gts: gts[0])
+    else:
+        per_video = []
+        for vi, info in enumerate(dataset.iter_videos()):
+            if max_videos is not None and vi >= max_videos:
+                break
+            video = info["name"]
+            frames = dataset.load_frames(video, info["frames"])
+            gts = [dataset.load_mask(video, f) for f in info["frames"]]
+            vm = _eval_one_video(model, frames, gts[0], gts, chunk=chunk)
+            vm["video"] = video
+            per_video.append(vm)
+    for vm, info in zip(per_video, dataset.iter_videos()):
         video = info["name"]
-        frames = dataset.load_frames(video, info["frames"])
-        gts = [dataset.load_mask(video, f) for f in info["frames"]]
-        vm = _eval_one_video(model, frames, gts[0], gts, chunk=chunk)
-        vm["video"] = video
-        per_video.append(vm)
         if save_masks:
             mask_dir = os.path.join(run_dir, "masks", video)
             os.makedirs(mask_dir, exist_ok=True)
@@ -162,25 +238,41 @@ def run_model_on_longdata_set(
     save_masks: bool = False,
     max_videos: Optional[int] = None,
     chunk: Optional[int] = None,
+    batched=None,
 ) -> pd.DataFrame:
     """runner.py:127-223 — metrics only at annotated frame ids.
-    `chunk`: see _eval_one_video."""
+    `chunk`: see _eval_one_video; `batched`: see run_model_on_davis_set."""
     run_dir = _result_dir(runname)
-    per_video: List[Dict] = []
-    for vi, info in enumerate(dataset.iter_videos()):
-        if max_videos is not None and vi >= max_videos:
-            break
-        video = info["name"]
-        frames = dataset.load_frames(video, info["frames"])
-        gts: List[Optional[np.ndarray]] = [None] * len(frames)
+
+    def _gts_of(info) -> List[Optional[np.ndarray]]:
+        gts: List[Optional[np.ndarray]] = [None] * len(info["frames"])
         for i in info["test_ids"]:
-            gts[i] = dataset.load_mask(video, info["frames"][i])
-        template = gts[info["test_ids"][0]]
-        vm = _eval_one_video(model, frames, template, gts, chunk=chunk)
-        vm["video"] = video
-        per_video.append(vm)
-        if save_masks:
-            mask_dir = os.path.join(run_dir, "masks", video)
+            gts[i] = dataset.load_mask(info["name"], info["frames"][i])
+        return gts
+
+    if batched is not None:
+        per_video = _run_batched_with_gt(
+            batched, dataset, max_videos, gts_of=_gts_of,
+            template_of=lambda info, gts: gts[info["test_ids"][0]])
+        infos = [i for vi, i in enumerate(dataset.iter_videos())
+                 if max_videos is None or vi < max_videos]
+    else:
+        per_video = []
+        infos = []
+        for vi, info in enumerate(dataset.iter_videos()):
+            if max_videos is not None and vi >= max_videos:
+                break
+            video = info["name"]
+            frames = dataset.load_frames(video, info["frames"])
+            gts = _gts_of(info)
+            template = gts[info["test_ids"][0]]
+            vm = _eval_one_video(model, frames, template, gts, chunk=chunk)
+            vm["video"] = video
+            per_video.append(vm)
+            infos.append(info)
+    if save_masks:
+        for vm, info in zip(per_video, infos):
+            mask_dir = os.path.join(run_dir, "masks", info["name"])
             os.makedirs(mask_dir, exist_ok=True)
             for i in info["test_ids"]:
                 save_palette_mask(

@@ -335,14 +335,23 @@ class BatchedGenerator:
         for lane in range(n_true):
             mapper = mappers[lane]
             live_slots = sorted(mapper.remappings.values())
-            masks, scores = [], []
+            slot_to_orig = {slot: orig
+                            for orig, slot in mapper.remappings.items()}
+            masks, scores, label_scores = [], [], []
             for t in range(len(videos[lane])):
                 idx = per_t_indexed[t][lane]
                 masks.append(mapper.remap_index_mask(idx).astype(np.uint8))
                 present = set(np.unique(idx).tolist())
                 slots = [s for s in live_slots if s in present]
                 scores.append([float(per_t_scores[t][lane][s - 1]) for s in slots])
-            out.append({"masks": masks, "scores": scores})
+                # original-palette-label -> score (what AP metrics consume;
+                # the flat `scores` list is slot-ordered and can't be
+                # re-keyed without the lane's private MaskMapper)
+                label_scores.append({
+                    slot_to_orig[s]: float(per_t_scores[t][lane][s - 1])
+                    for s in slots})
+            out.append({"masks": masks, "scores": scores,
+                        "label_scores": label_scores})
         if return_states:
             return out, states
         return out
