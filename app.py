@@ -52,6 +52,8 @@ class AppSession:
     template_idx: int = 0
     track_end: Optional[int] = None
     resize_ratio: float = 1.0
+    # chunked tracking (K=8 = the measured v5e optimum; None = per-frame)
+    track_chunk: Optional[int] = 8
     clicks: List[List[float]] = field(default_factory=list)
     click_labels: List[int] = field(default_factory=list)
     masks: List[np.ndarray] = field(default_factory=list)      # saved per-object
@@ -136,7 +138,15 @@ class AppSession:
         else:
             tmpl = self.template_mask(selected)
         self.model.xmem.clear_memory()
-        masks, logits, painted, scores = self.model.generator(frames, tmpl)
+        if self.track_chunk:
+            # the measured-fastest program (bench.py headline); masks AND
+            # painted frames bit-equal to the per-frame generator
+            # (tests/test_pipeline.py::TestGeneratorChunked)
+            masks, painted, scores = self.model.generator_chunked(
+                frames, tmpl, chunk=self.track_chunk, paint=True)
+        else:
+            masks, _logits, painted, scores = self.model.generator(
+                frames, tmpl)
         self.last_masks = masks
         if output_path:
             write_video(output_path, painted, fps=10)

@@ -166,9 +166,10 @@ class TestServer:
                 f"{base}/track", data=req,
                 headers={"Content-Type": "application/json"}))
 
-        # Deterministic overlap: client A's generator blocks ~0.8 s and
-        # signals entry, so client B provably overlaps the in-flight call.
-        orig_gen = model.generator
+        # Deterministic overlap: client A's tracking call (the /track
+        # route's default chunked path) blocks ~0.8 s and signals entry,
+        # so client B provably overlaps the in-flight call.
+        orig_gen = model.generator_chunked
         entered = threading.Event()
 
         def slow_generator(*a, **k):
@@ -196,7 +197,7 @@ class TestServer:
         try:
             post()   # warm the jits
             wait_lock_free()
-            model.generator = slow_generator
+            model.generator_chunked = slow_generator
             th = threading.Thread(target=client_a)
             th.start()
             assert entered.wait(10.0), "client A never reached the model"
@@ -212,14 +213,14 @@ class TestServer:
             assert busy_wall < 0.5, (
                 f"busy reply took {busy_wall:.2f}s — queued, not refused")
             # and a retry after A completes succeeds
-            model.generator = orig_gen
+            model.generator_chunked = orig_gen
             wait_lock_free()
             assert post().status == 200
         finally:
             # drop the instance-attr shadow, restoring the class method
             # (model is the shared fresh_ta instance)
             try:
-                del model.generator
+                del model.generator_chunked
             except AttributeError:
                 pass
             httpd.shutdown()

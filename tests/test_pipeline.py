@@ -197,6 +197,21 @@ class TestGeneratorChunked:
         for sa, sb in zip(scores_ref, scores_c):
             np.testing.assert_allclose(sa, sb, rtol=1e-5, atol=1e-5)
 
+    def test_painted_matches_per_frame(self):
+        """generator_chunked(paint=True) — the app's track path — returns
+        painted frames bit-identical to generator()'s (same jitted
+        painter, one vmapped dispatch per chunk)."""
+        frames = synthetic_video(6)
+        ta = fresh_ta(False)
+        _, _, painted_ref, _ = ta.generator(frames, template())
+        ta = fresh_ta(False)
+        masks_c, painted_c, scores_c = ta.generator_chunked(
+            frames, template(), chunk=2, paint=True)
+        assert len(painted_c) == len(painted_ref) == 6
+        for i, (a, b) in enumerate(zip(painted_ref, painted_c)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=f"painted frame {i}")
+
     def test_requires_seeding(self):
         ta = fresh_ta(False)
         with pytest.raises(RuntimeError):

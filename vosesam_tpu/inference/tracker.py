@@ -87,6 +87,14 @@ def track_first_frame(
     return state, indexed, logits, scores, painted
 
 
+@partial(jax.jit, static_argnames=("o",))
+def _paint_chunk(frames, indexed: jax.Array, o: int) -> jax.Array:
+    """Batch-paint one chunk — the same paint_indexed as track_frame, so
+    chunked painted output is bit-identical to per-frame stepping."""
+    return jax.vmap(lambda f, i: paint_indexed(f, i, o))(
+        jnp.stack(frames), indexed)
+
+
 class Tracker:
     """Host-side session wrapper (BaseTracker-compatible surface)."""
 
@@ -246,7 +254,7 @@ class Tracker:
             live_slots = [s for s in live_slots if s in present]
         return [float(scores_np[s - 1]) for s in live_slots]
 
-    def track_batch(self, frames, chunk: int = 4):
+    def track_batch(self, frames, chunk: int = 4, paint: bool = False):
         """Throughput path: propagate frames through inference/chunked.py —
         XMem scanned over `chunk` frames, ONE batched SAM encode+refinement
         — proven bit-equal to per-frame track (tests/test_chunked.py).
@@ -254,24 +262,30 @@ class Tracker:
         Must be seeded first (track(frame, annotation)). Only full chunks go
         through the batched path; the remainder falls back to per-frame
         stepping so padded duplicate frames never touch the memory state.
-        Returns (masks [(H, W) uint8 original labels...], scores [list...]).
-        """
+        Returns (masks [(H, W) uint8 original labels...], scores [list...]);
+        with `paint=True`, (masks, painted [(H, W, 3) uint8...], scores) —
+        painted via the SAME jitted paint as per-frame stepping (one vmapped
+        dispatch per chunk), bit-identical output."""
         from vosesam_tpu.inference.chunked import track_chunk
 
         if self.state is None:
             raise RuntimeError(
                 "track_batch needs a seeded tracker: call "
                 "track(frame, first_frame_annotation) first")
-        masks_out, scores_out = [], []
+        masks_out, painted_out, scores_out = [], [], []
         n_full = (len(frames) // chunk) * chunk
+        o = self._track_cfg().xmem.max_objects
 
         def drain(pending):
             idx_np = np.asarray(pending[0])
             sc_np = np.asarray(pending[1])
+            pb_np = np.asarray(pending[2]) if pending[2] is not None else None
             for j in range(chunk):
                 masks_out.append(
                     self.mapper.remap_index_mask(idx_np[j]).astype(np.uint8))
                 scores_out.append(self._live_scores(sc_np[j], idx_np[j]))
+                if pb_np is not None:
+                    painted_out.append(pb_np[j])
 
         # Double-buffered: dispatch chunk i before syncing chunk i-1's
         # outputs, so the ~25 ms tunnel round-trip of the host->np
@@ -286,16 +300,21 @@ class Tracker:
                 self.xmem_params, self.sam_params, self.state, fb,
                 self._track_cfg(),
             )
+            pb = _paint_chunk(fb, indexed, o) if paint else None
             self._frames_tracked += chunk
             if pending is not None:
                 drain(pending)
-            pending = (indexed, scores)
+            pending = (indexed, scores, pb)
         if pending is not None:
             drain(pending)
         for f in frames[n_full:]:
-            m, _lg, _p, s = self.track(f)
+            m, _lg, p, s = self.track(f)
             masks_out.append(m)
             scores_out.append(s)
+            if paint:
+                painted_out.append(p)
+        if paint:
+            return masks_out, painted_out, scores_out
         return masks_out, scores_out
 
     def _dump_inner(self, logits: np.ndarray, refined: np.ndarray) -> None:

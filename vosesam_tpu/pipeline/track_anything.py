@@ -119,13 +119,19 @@ class TrackingAnything:
 
     def generator_chunked(
         self, images: Sequence[np.ndarray], template_mask: np.ndarray,
-        chunk: int = 4,
-    ) -> Tuple[List[np.ndarray], List[list]]:
+        chunk: int = 4, paint: bool = False,
+    ):
         """Throughput variant of generator(): frame 0 seeds per-frame, the
         rest run through the chunked scan+batched-SAM path (bit-equal masks,
         tests/test_chunked.py; the path behind the headline bench). Skips
-        logits/painted accumulation. Returns (masks, scores)."""
-        m0, _lg, _p, s0 = self.xmem.track(images[0], template_mask)
+        logits accumulation. Returns (masks, scores); with `paint=True`,
+        (masks, painted_images, scores) — painted bit-identical to
+        generator()'s (same jitted painter, one vmapped dispatch/chunk)."""
+        m0, _lg, p0, s0 = self.xmem.track(images[0], template_mask)
+        if paint:
+            masks, painted, scores = self.xmem.track_batch(
+                list(images[1:]), chunk=chunk, paint=True)
+            return [m0] + masks, [p0] + painted, [s0] + scores
         masks, scores = self.xmem.track_batch(list(images[1:]), chunk=chunk)
         return [m0] + masks, [s0] + scores
 

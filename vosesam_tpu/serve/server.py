@@ -140,7 +140,15 @@ class InferenceHandler(BaseHTTPRequestHandler):
         frames = [_decode_image(b) for b in req["frames"]]
         template = _decode_mask(req["template_mask"])
         self.model.xmem.clear_memory()
-        masks, logits, painted, scores = self.model.generator(frames, template)
+        # chunked fast path (bit-equal masks, tests/test_chunked.py);
+        # "chunk": 0 in the request selects the per-frame generator
+        chunk = int(req.get("chunk", 8))
+        if chunk > 1:
+            masks, scores = self.model.generator_chunked(
+                frames, template, chunk=chunk)
+        else:
+            masks, _logits, _painted, scores = self.model.generator(
+                frames, template)
         self._json(200, {
             "masks": [_encode_mask(m) for m in masks],
             "scores": [list(map(float, s)) for s in scores],
