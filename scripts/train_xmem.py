@@ -37,6 +37,12 @@ def main() -> None:
     ap.add_argument("--save", default=None, help="orbax checkpoint path")
     ap.add_argument("--resume", default=None)
     ap.add_argument("--log-every", type=int, default=20)
+    ap.add_argument("--grad-accum", type=int, default=1,
+                    help="sequential microbatches per optimizer step "
+                         "(TrainConfig.grad_accum; 2 fits the standard "
+                         "B=4 T=8 384px recipe on one v5e chip — "
+                         "898 ms/step measured, zero accumulation "
+                         "overhead vs the B=2 microbatch rate)")
     ap.add_argument("--dp", action="store_true",
                     help="data-parallel over all local devices")
     ap.add_argument("--seed", type=int, default=0)
@@ -61,7 +67,8 @@ def main() -> None:
         xmem=XMemConfig(max_objects=args.max_objects, key_dim=args.key_dim,
                         value_dim=args.value_dim, hidden_dim=args.hidden_dim),
         dtype="float32")
-    tcfg = T.TrainConfig(lr=args.lr, seq_length=args.seq_length)
+    tcfg = T.TrainConfig(lr=args.lr, seq_length=args.seq_length,
+                         grad_accum=args.grad_accum)
     ds = DavisDataset(args.data, imset=args.imset)
     sampler = ClipSampler(
         ds, ClipSamplerConfig(seq_length=args.seq_length, crop=args.crop),

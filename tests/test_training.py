@@ -68,6 +68,44 @@ class TestTrainStep:
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0]   # overfits the single clip
 
+    def test_grad_accum_matches_full_batch(self):
+        """grad_accum=2 (sequential microbatches via lax.scan — the
+        single-chip path for the standard B=4 recipe that exceeds v5e HBM
+        as one batch) computes the same optimizer update as the full-batch
+        step, up to summation-order fp noise."""
+        cfg = FrameworkConfig(
+            xmem=XMemConfig(key_dim=8, value_dim=16, hidden_dim=4,
+                            max_objects=2),
+            memory=MemoryConfig(top_k=4),
+            dtype="float32",
+        )
+        params = xnet.xmem_init(jax.random.PRNGKey(0), cfg.xmem)
+        rng = np.random.default_rng(1)
+        frames = jnp.asarray(
+            rng.normal(size=(4, 3, 32, 32, 3)).astype(np.float32))
+        gt = np.zeros((4, 3, 32, 32), np.int32)
+        for b in range(4):
+            gt[b, :, 6 + b:18 + b, 8:20] = 1
+        gt = jnp.asarray(gt)
+        ov = jnp.asarray(np.array([[True, False]] * 4))
+
+        outs = {}
+        for ga in (1, 2):
+            tcfg = T.TrainConfig(seq_length=3, grad_accum=ga)
+            state = T.init_train_state(params, tcfg)
+            state2, aux = T.train_step(state, frames, gt, ov, cfg, tcfg)
+            outs[ga] = (state2, float(aux["loss"]))
+        assert outs[1][1] == pytest.approx(outs[2][1], rel=1e-5)
+        leaves1 = jax.tree.leaves(outs[1][0].params)
+        leaves2 = jax.tree.leaves(outs[2][0].params)
+        for l1, l2 in zip(leaves1, leaves2):
+            # mean-of-halves vs global-mean fp noise passes through
+            # AdamW's sqrt-normalizer: bound the post-update weight delta
+            # in ABSOLUTE terms (a few LR=1e-5 quanta), not relative —
+            # near-zero-gradient weights amplify relative error
+            np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                                       rtol=0, atol=5e-5)
+
     def test_checkpoint_roundtrip(self, tmp_path):
         cfg = FrameworkConfig(
             xmem=XMemConfig(key_dim=8, value_dim=16, hidden_dim=4, max_objects=2),

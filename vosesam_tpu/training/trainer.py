@@ -35,6 +35,20 @@ class TrainConfig:
     clip_norm: float = 3.0
     seq_length: int = 8                # unrolled frames per clip
     deep_update_prob: float = 0.2
+    # Rematerialize each unrolled frame's forward in the backward pass
+    # (jax.checkpoint): only the per-frame boundaries (growing memory
+    # tokens + hidden) are kept live. Without it the standard recipe
+    # (B=4, T=8, 384x384) wants 22.2 GB of 15.75 GB v5e HBM at compile
+    # time; with it B=2 runs (452 ms/step measured) and B=4 sits ~1%
+    # over — use grad_accum for the full recipe on one chip. ~1/3 more
+    # forward FLOPs for ~T-fold less activation memory.
+    remat: bool = True
+    # Gradient accumulation: split the batch into this many sequential
+    # microbatches inside ONE optimizer step (lax.scan forces the
+    # serialization, so peak memory is one microbatch's). grad_accum=2
+    # fits the standard B=4 recipe on a single v5e chip; the update is
+    # numerically the full-batch mean (tests/test_training.py).
+    grad_accum: int = 1
 
 
 class TrainState(NamedTuple):
@@ -77,8 +91,11 @@ def clip_forward_loss(
     obj_valid: jax.Array,    # (O,)
     it: jax.Array,
     cfg: FrameworkConfig,
+    remat: bool = True,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
-    """One clip's unrolled forward + losses (trainer.py:75-117)."""
+    """One clip's unrolled forward + losses (trainer.py:75-117).
+
+    `remat`: checkpoint each frame's body (see TrainConfig.remat)."""
     t, h, w, _ = frames.shape
     o = cfg.xmem.max_objects
     h16, w16 = h // 16, w // 16
@@ -97,37 +114,48 @@ def clip_forward_loss(
     mem_shrink = sh0.reshape(hw)
     mem_values = v0.reshape(o, hw, -1)
 
-    total = 0.0
-    aux: Dict[str, jax.Array] = {}
-    for ti in range(1, t):
-        key, sh, sel, feats = xnet.encode_key(params, frames[ti])
+    def frame_body(params, frame, gt_t, mem_keys, mem_shrink, mem_values,
+                   hidden):
+        key, sh, sel, feats = xnet.encode_key(params, frame)
         read = _train_read_memory(
             mem_keys, mem_shrink, mem_values,
             key.reshape(hw, -1), sel.reshape(hw, -1),
         ).reshape(o, h16, w16, -1)
         hidden_new, agg_logits, prob = xnet.segment(
-            params, feats, read.astype(frames.dtype), hidden, obj_valid,
+            params, feats, read.astype(frame.dtype), hidden, obj_valid,
             cfg.xmem, h_out=True, strip_bg=False,
         )
-        hidden = hidden_new if hidden_new is not None else hidden
+        hidden2 = hidden_new if hidden_new is not None else hidden
         # per-object logits for the dice term: re-derive from probs
         obj_logits = jnp.log(jnp.clip(prob[1:], 1e-7, 1.0)) - jnp.log(
             jnp.clip(1.0 - prob[1:], 1e-7, 1.0)
         )
-        loss, parts = L.frame_loss(
-            agg_logits, obj_logits, gt_indexed[ti], obj_valid, it
+        loss, parts = L.frame_loss(agg_logits, obj_logits, gt_t, obj_valid, it)
+        # memorize this frame with the PREDICTED mask (self-supervised rollout)
+        v, hidden3 = xnet.encode_value(
+            params, frame, feats.f16, hidden2, prob[1:], obj_valid, cfg.xmem
         )
+        return (loss, parts, key.reshape(hw, -1), sh.reshape(hw),
+                v.reshape(o, hw, -1), hidden3)
+
+    # Remat: only each frame's boundary state (growing memory tokens +
+    # hidden) stays live through the backward pass; per-frame activations
+    # are recomputed (TrainConfig.remat — without this the standard recipe
+    # exceeds one v5e's HBM by 6.4 GB).
+    step_fn = jax.checkpoint(frame_body) if remat else frame_body
+
+    total = 0.0
+    aux: Dict[str, jax.Array] = {}
+    for ti in range(1, t):
+        loss, parts, k_new, s_new, v_new, hidden = step_fn(
+            params, frames[ti], gt_indexed[ti], mem_keys, mem_shrink,
+            mem_values, hidden)
         total = total + loss
         if ti == 1:
             aux = parts
-
-        # memorize this frame with the PREDICTED mask (self-supervised rollout)
-        v, hidden = xnet.encode_value(
-            params, frames[ti], feats.f16, hidden, prob[1:], obj_valid, cfg.xmem
-        )
-        mem_keys = jnp.concatenate([mem_keys, key.reshape(hw, -1)], 0)
-        mem_shrink = jnp.concatenate([mem_shrink, sh.reshape(hw)], 0)
-        mem_values = jnp.concatenate([mem_values, v.reshape(o, hw, -1)], 1)
+        mem_keys = jnp.concatenate([mem_keys, k_new], 0)
+        mem_shrink = jnp.concatenate([mem_shrink, s_new], 0)
+        mem_values = jnp.concatenate([mem_values, v_new], 1)
 
     return total / (t - 1), aux
 
@@ -144,13 +172,43 @@ def train_step(
     """One optimizer step over a clip batch. Shard `frames`/`gt` over the
     mesh `data` axis for DP — jit inserts the gradient all-reduce."""
 
-    def loss_fn(params):
+    def loss_fn(params, f, g, v):
         losses, aux = jax.vmap(
-            lambda f, g, v: clip_forward_loss(params, f, g, v, state.it, cfg)
-        )(frames, gt, obj_valid)
+            lambda a, b, c: clip_forward_loss(params, a, b, c, state.it, cfg,
+                                              remat=tcfg.remat)
+        )(f, g, v)
         return jnp.mean(losses), jax.tree.map(jnp.mean, aux)
 
-    (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+    ga = tcfg.grad_accum
+    if ga > 1:
+        b = frames.shape[0]
+        if b % ga:
+            raise ValueError(f"batch {b} not divisible by grad_accum={ga}")
+        mb = b // ga
+        reshape = lambda x: x.reshape((ga, mb) + x.shape[1:])
+
+        def micro(carry, xs):
+            g_acc, l_acc, a_acc = carry
+            (l, a), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, *xs)
+            return (jax.tree.map(jnp.add, g_acc, g), l_acc + l,
+                    jax.tree.map(jnp.add, a_acc, a)), None
+
+        zero_g = jax.tree.map(jnp.zeros_like, state.params)
+        # probe aux structure without computing (abstract eval)
+        aux_shape = jax.eval_shape(
+            lambda p: loss_fn(p, frames[:mb], gt[:mb], obj_valid[:mb])[1],
+            state.params)
+        zero_a = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), aux_shape)
+        (grads, loss, aux), _ = jax.lax.scan(
+            micro, (zero_g, jnp.float32(0.0), zero_a),
+            (reshape(frames), reshape(gt), reshape(obj_valid)))
+        grads = jax.tree.map(lambda x: x / ga, grads)
+        loss = loss / ga
+        aux = jax.tree.map(lambda x: x / ga, aux)
+    else:
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, frames, gt, obj_valid)
     opt = make_optimizer(tcfg)
     updates, opt_state = opt.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
