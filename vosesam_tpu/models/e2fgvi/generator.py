@@ -432,6 +432,7 @@ def generator_forward(
     num_local: int,
     cfg: InpainterConfig,
     frame_valid: Optional[jax.Array] = None,   # (T,) bool; pads False
+    remat: bool = False,
 ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
     """e2fgvi_hq.py:235-263. Returns ((T, H, W, 3) tanh output,
     (forward, backward) 1/4-res flows of the local frames).
@@ -439,7 +440,14 @@ def generator_forward(
     `frame_valid` marks padded NON-LOCAL slots (static-window fast path):
     they are excluded from every attention softmax, so valid frames'
     outputs are bit-identical to running the unpadded window. All local
-    frames must be valid (they feed the flow/propagation path)."""
+    frames must be valid (they feed the flow/propagation path).
+
+    `remat` (training only): jax.checkpoint each stage (spynet, encoder,
+    propagation, every focal block, decoder) so the GAN step's backward
+    recomputes stage activations instead of keeping them live — without
+    it the standard T=8 240x432 training step exceeds one v5e's HBM
+    (BASELINE.md). Forward-only values are identical; inference callers
+    leave it off."""
     t, h, w, _ = masked_frames.shape
     lt = num_local
     if "bias" in params["sc"]:
@@ -455,6 +463,8 @@ def generator_forward(
                 f"pinned to the ({bh}, {bw}) feature grid); got {h}x{w}. "
                 f"Use hq=True for arbitrary resolutions.")
 
+    ckpt = jax.checkpoint if remat else (lambda f: f)
+
     # bidirectional flows on the local window (frames mapped back to [0,1])
     local01 = (masked_frames[:lt] + 1.0) / 2.0
     small = _resize_quarter(local01)
@@ -463,8 +473,8 @@ def generator_forward(
     uh = -(-sh // 32) * 32
     uw = -(-sw // 32) * 32
     up = jax.image.resize(small, (lt, uh, uw, 3), "linear")
-    f_fwd = M.spynet_flow(params["update_spynet"], up[:-1], up[1:])
-    f_bwd = M.spynet_flow(params["update_spynet"], up[1:], up[:-1])
+    f_fwd = ckpt(M.spynet_flow)(params["update_spynet"], up[:-1], up[1:])
+    f_bwd = ckpt(M.spynet_flow)(params["update_spynet"], up[1:], up[:-1])
 
     def down_flow(f):
         f = jax.image.resize(f, (lt - 1, sh, sw, 2), "linear")
@@ -473,9 +483,9 @@ def generator_forward(
     flows_forward = down_flow(f_fwd)
     flows_backward = down_flow(f_bwd)
 
-    enc = encoder_forward(params["encoder"], masked_frames)   # (T, h/4, w/4, 128)
+    enc = ckpt(encoder_forward)(params["encoder"], masked_frames)  # (T, h/4, w/4, 128)
     eh, ew = enc.shape[1:3]
-    local_feat = bidirectional_propagation(
+    local_feat = ckpt(bidirectional_propagation)(
         params["feat_prop_module"], enc[:lt], flows_backward, flows_forward
     )
     enc_feat = jnp.concatenate([local_feat, enc[lt:]], axis=0)
@@ -484,13 +494,14 @@ def generator_forward(
     fh = (eh + 2 * PADDING[0] - KERNEL[0]) // STRIDE[0] + 1
     fw = (ew + 2 * PADDING[1] - KERNEL[1]) // STRIDE[1] + 1
     x = tokens.reshape(t, fh, fw, HIDDEN)
+    block_fn = ckpt(lambda p, xx: focal_block_forward(
+        p, xx, (eh, ew), frame_valid=frame_valid))
     for i in range(cfg.num_blocks):
-        x = focal_block_forward(params["transformer"][str(i)], x, (eh, ew),
-                                frame_valid=frame_valid)
+        x = block_fn(params["transformer"][str(i)], x)
     trans = M.soft_comp(
         params["sc"], x.reshape(t, fh * fw, HIDDEN), (eh, ew), KERNEL, STRIDE, PADDING
     )
     enc_feat = enc_feat + trans
 
-    out = decoder_forward(params["decoder"], enc_feat)
+    out = ckpt(decoder_forward)(params["decoder"], enc_feat)
     return jnp.tanh(out), (flows_forward, flows_backward)

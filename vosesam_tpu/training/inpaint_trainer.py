@@ -40,6 +40,10 @@ class InpaintTrainConfig:
     valid_weight: float = 1.0
     flow_weight: float = 1.0
     adversarial_weight: float = 0.01
+    # Stage-level generator remat in the gen backward pass (see
+    # generator_forward(remat=...)): required to fit the standard T=8
+    # 240x432 step on one v5e chip.
+    remat: bool = True
 
 
 class InpaintTrainState(NamedTuple):
@@ -96,7 +100,8 @@ def train_step(
     masked = frames * (1.0 - masks)
 
     def gen_loss_fn(gen_params):
-        pred, pred_flows = G.generator_forward(gen_params, masked, num_local, cfg)
+        pred, pred_flows = G.generator_forward(gen_params, masked, num_local,
+                                               cfg, remat=tcfg.remat)
         comp = frames * (1.0 - masks) + pred * masks
         hole = _masked_l1(pred, frames, masks)
         valid = _masked_l1(pred, frames, 1.0 - masks)
