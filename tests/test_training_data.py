@@ -213,7 +213,8 @@ class TestTrainIntegration:
         env = dict(os.environ)
         out = subprocess.run(
             [sys.executable, "scripts/train_xmem.py", "--data", tree,
-             "--steps", "2", "--batch", "1", "--seq-length", "2",
+             "--steps", "2", "--batch", "2", "--grad-accum", "2",
+             "--seq-length", "2",
              "--crop", "32", "--max-objects", "2", "--key-dim", "8",
              "--value-dim", "16", "--hidden-dim", "4", "--save", ckpt,
              "--platform", "cpu", "--log-every", "1"],
